@@ -1,0 +1,159 @@
+"""Fused multi-view unprojection: heatmaps -> voxel feature cube.
+
+This collapses the reference's ``ProjectLayer.get_voxel`` python double loop
+over batch x views (ref: lib/models/project_layer.py:42-102) into one batched,
+jit-compiled op:
+
+  1. project all voxel centers into every camera              (MXU einsum)
+  2. in-image bounding mask                                   (VPU)
+  3. clamp -> image-space affine -> optional horizontal flip
+  4. rescale to heatmap coords, normalize, clamp to +-1.1
+  5. bilinear-sample every view's heatmap (zero padding)      (gather)
+  6. bounded mean across views, nan->0, clamp to [0, 1]
+
+Everything is fixed-shape; views/batch/candidates are array axes, never python
+loops, so XLA sees one fusible graph per call site.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from selfpose3d_tpu.geometry.cameras import CameraParams, project_points
+from selfpose3d_tpu.ops.sampling import grid_sample_bilinear
+
+
+def compute_sample_grid(
+    grid: jnp.ndarray,
+    cam: CameraParams,
+    trans: jnp.ndarray,
+    image_wh: Tuple[int, int],
+    heatmap_wh: Tuple[int, int],
+    hflip: Optional[jnp.ndarray] = None,
+    orig_wh: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-view normalized sampling coords + in-bounds mask.
+
+    Args:
+      grid:    (..., N, 3) voxel centers in world mm. Leading axes broadcast
+               against the camera batch axes.
+      cam:     CameraParams with leading axes (..., ) matching grid's leading
+               axes (typically (B, V)).
+      trans:   (..., 2or3, 3) affine original-image->network-input pixels.
+      image_wh: static (W, H) of the network input (ref cfg NETWORK.IMAGE_SIZE).
+      heatmap_wh: static (W, H) of the heatmaps.
+      hflip:   optional (...,)-broadcastable bool; flip x in input-image space
+               (ref: project_layer.py:82-83).
+      orig_wh: (..., 2) original camera image size (width,height) = center*2
+               in the reference (ref: project_layer.py:68). Defaults to
+               image-space bound from trans being identity — must be provided
+               for correctness with real cameras.
+    Returns:
+      sample_grid: (..., N, 2) in [-1.1, 1.1] normalized coords.
+      bounding:    (..., N) float mask of voxels projecting inside the
+                   original image.
+    """
+    w, h = heatmap_wh
+    img_w, img_h = image_wh
+
+    xy = project_points(grid, cam)  # (..., N, 2)
+
+    width = orig_wh[..., 0:1]  # (..., 1)
+    height = orig_wh[..., 1:2]
+    bounding = (
+        (xy[..., 0] >= 0)
+        & (xy[..., 1] >= 0)
+        & (xy[..., 0] < width)
+        & (xy[..., 1] < height)
+    ).astype(jnp.float32)
+
+    max_dim = jnp.maximum(width, height)  # (..., 1)
+    xy = jnp.clip(xy, -1.0, max_dim[..., None])
+
+    # image-space affine (homogeneous): (..., N, 2)
+    A = trans[..., :2, :2]
+    b = trans[..., :2, 2]
+    xy = jnp.einsum("...ij,...nj->...ni", A, xy) + b[..., None, :]
+
+    if hflip is not None:
+        flip = jnp.asarray(hflip, dtype=xy.dtype)
+        while flip.ndim < xy.ndim - 1:
+            flip = flip[..., None]
+        x_flipped = img_w - xy[..., 0]
+        xy = jnp.stack(
+            [flip * x_flipped + (1.0 - flip) * xy[..., 0], xy[..., 1]], axis=-1
+        )
+
+    # rescale image coords -> heatmap coords -> normalized [-1, 1]
+    scale_hm = jnp.array([w / img_w, h / img_h], dtype=xy.dtype)
+    xy = xy * scale_hm
+    denom = jnp.array([w - 1.0, h - 1.0], dtype=xy.dtype)
+    sample_grid = jnp.clip(xy / denom * 2.0 - 1.0, -1.1, 1.1)
+    return sample_grid, bounding
+
+
+def sample_and_aggregate(
+    heatmaps: jnp.ndarray,
+    sample_grid: jnp.ndarray,
+    bounding: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bilinear-sample per view and take the bounded mean across views.
+
+    Args:
+      heatmaps:    (B, V, H, W, J)
+      sample_grid: (B, V, N, 2)
+      bounding:    (B, V, N)
+    Returns:
+      (B, N, J) aggregated voxel features in [0, 1].
+    """
+    sampled = jax.vmap(jax.vmap(grid_sample_bilinear))(heatmaps, sample_grid)
+    # (B, V, N, J)
+    wsum = jnp.sum(sampled * bounding[..., None], axis=1)  # (B, N, J)
+    denom = jnp.sum(bounding, axis=1)[..., None] + 1e-6
+    cubes = wsum / denom
+    cubes = jnp.nan_to_num(cubes, nan=0.0)
+    return jnp.clip(cubes, 0.0, 1.0)
+
+
+def unproject_heatmaps(
+    heatmaps: jnp.ndarray,
+    grid: jnp.ndarray,
+    cam: CameraParams,
+    trans: jnp.ndarray,
+    image_wh: Tuple[int, int],
+    orig_wh: jnp.ndarray,
+    cube_size: Sequence[int],
+    hflip: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full fused unprojection.
+
+    Args:
+      heatmaps: (B, V, H, W, J)
+      grid:     (B, N, 3) voxel centers (N = prod(cube_size)); may be shared
+                across the batch by broadcasting a (1, N, 3).
+      cam:      CameraParams batched (B, V).
+      trans:    (B, V, 2or3, 3)
+      image_wh: static network-input (W, H).
+      orig_wh:  (B, V, 2) original image (width, height) per view.
+      cube_size: static (X, Y, Z).
+      hflip:    optional (B,) bools.
+    Returns:
+      (B, X, Y, Z, J) voxel cube (NDHWC).
+    """
+    B, V, H, W, J = heatmaps.shape
+    heatmap_wh = (W, H)
+    flip = None
+    if hflip is not None:
+        flip = jnp.broadcast_to(
+            jnp.asarray(hflip).reshape(-1, 1), (B, V)
+        )  # same flip for all views of a sample
+    grid_bv = grid[:, None, :, :]  # (B, 1, N, 3) broadcasts over views
+    sample_grid, bounding = compute_sample_grid(
+        grid_bv, cam, trans, image_wh, heatmap_wh, hflip=flip, orig_wh=orig_wh
+    )
+    cubes = sample_and_aggregate(heatmaps, sample_grid, bounding)  # (B, N, J)
+    X, Y, Z = (int(s) for s in cube_size)
+    return cubes.reshape(B, X, Y, Z, J)
