@@ -1,0 +1,77 @@
+"""Benchmark: 5-view Panoptic inference frames/sec/chip (BASELINE.json metric).
+
+Runs the flagship SSV model (ResNet-50 backbone, 960x512 inputs, 80x80x20
+root grid, 10x 64^3 pose cubes) end-to-end — backbone -> RootNet -> proposals
+-> PoseNet -> soft-argmax — as one jitted program on the available chip, and
+reports frames (5-view frame sets) per second per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). The denominator is an engineering estimate of the PyTorch
+reference's A100 inference throughput (research code, python-loop views and
+candidates): ~8 frame-sets/s. The north-star target is 2x that per chip.
+"""
+
+import json
+import time
+
+A100_EST_FPS = 8.0  # estimated torch reference on one A100 (no published number)
+BATCH = 4
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_cfg
+    from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+    from selfpose3d_tpu.models import get_model
+
+    cfg = _flagship_cfg(tiny=False)
+    model = get_model(cfg)  # bf16 compute path
+    branch, _ = make_synthetic_branch(
+        cfg, batch_size=BATCH, num_person=3, with_images=True
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)},
+        branch,
+    )
+
+    @jax.jit
+    def infer(params, batch_stats, br):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            br,
+            method="do_inference",
+        )
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    for _ in range(WARMUP):
+        out = infer(params, stats, branch)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(params, stats, branch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "panoptic_5view_inference_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / A100_EST_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

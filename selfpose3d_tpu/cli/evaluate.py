@@ -1,0 +1,69 @@
+"""Evaluation CLI (ref: tools/evaluate.py).
+
+Usage: sp3d-evaluate --cfg <yaml> [--test-file ckpt.pth.tar] [--epoch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from selfpose3d_tpu.config import load_config
+from selfpose3d_tpu.data.registry import get_dataset
+from selfpose3d_tpu.models import get_model
+from selfpose3d_tpu.train import checkpoint as ckpt
+from selfpose3d_tpu.train.loop import validate_3d
+from selfpose3d_tpu.train.train_state import create_train_state
+from selfpose3d_tpu.utils.logging_utils import create_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate multi-view 3D pose network")
+    p.add_argument("--cfg", required=True, type=str)
+    p.add_argument("--test-file", type=str, default="",
+                   help="reference .pth.tar checkpoint to convert & evaluate")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="orbax checkpoint epoch to load (default: best/latest)")
+    p.add_argument("--with-ssv", action="store_true")
+    p.add_argument("--no-images", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.cfg)
+    logger, output_dir, _ = create_logger(cfg, args.cfg, "eval")
+    logger.info("devices: %s", jax.devices())
+
+    model = get_model(cfg)
+    from selfpose3d_tpu.cli.train_3d import init_variables
+
+    variables = init_variables(cfg, model)
+    state = create_train_state(cfg, variables)
+
+    if args.test_file and os.path.exists(args.test_file):
+        logger.info("converting torch checkpoint %s", args.test_file)
+        variables = ckpt.load_torch_stage(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.test_file, "all",
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    else:
+        epoch = args.epoch or ckpt.best_checkpoint_epoch(output_dir)
+        state, loaded_epoch, prec = ckpt.load_checkpoint(output_dir, state, epoch)
+        logger.info("loaded epoch %s (precision %.4f)", loaded_epoch, prec)
+
+    test_ds = get_dataset(cfg, cfg.DATASET.TEST_DATASET, cfg.DATASET.TEST_SUBSET, False)
+    precision = validate_3d(
+        cfg, model, state, test_ds, output_dir, load_images=not args.no_images
+    )
+    logger.info("final precision (mean AP): %s", precision)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,533 @@
+"""Top-level multi-person pose models.
+
+MultiPersonPoseNetSSV: the SelfPose3d model — per-view backbone heatmaps,
+self-supervised RootNet (synthetic roots), per-candidate PoseNet, and the six
+SSV loss terms (ref: lib/models/multi_person_posenet_ssv.py:29-501).
+
+MultiPersonPoseNet: the supervised VoxelPose baseline
+(ref: lib/models/multi_person_posenet.py:20-111).
+
+TPU-first design notes:
+  * (batch, views) and (batch, augs) are folded into one leading axis for the
+    backbone — 1 conv pass instead of the reference's 15 sequential ones.
+  * All person/candidate dimensions are fixed-shape + masked; the reference's
+    data-dependent branches (empty-candidate dummy losses,
+    ref: multi_person_posenet_ssv.py:429,496) become multiplicative gates, so
+    one jit graph covers every batch.
+  * Hungarian matching runs on-device (ops/matching.py) — no scipy sync.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from selfpose3d_tpu.config import Config
+from selfpose3d_tpu.data.structures import AugBranch
+from selfpose3d_tpu.geometry.cameras import project_points_with_trans
+from selfpose3d_tpu.models.pose_net import PoseNet
+from selfpose3d_tpu.models.pose_resnet import PoseResNet, PoseResAttnNet
+from selfpose3d_tpu.models.root_net import RootNet
+from selfpose3d_tpu.ops.gaussian import render_gaussian_heatmaps
+from selfpose3d_tpu.ops.matching import masked_assignment_cost
+
+
+def _mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+class MultiPersonPoseNetSSV(nn.Module):
+    """Self-supervised multi-view multi-person 3D pose model."""
+
+    cfg: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        if c.BACKBONE_MODEL:
+            self.backbone = PoseResNet(
+                num_layers=c.POSE_RESNET.NUM_LAYERS,
+                num_joints=c.NETWORK.NUM_JOINTS,
+                deconv_filters=tuple(c.POSE_RESNET.NUM_DECONV_FILTERS),
+                deconv_kernels=tuple(c.POSE_RESNET.NUM_DECONV_KERNELS),
+                final_conv_kernel=c.POSE_RESNET.FINAL_CONV_KERNEL,
+                deconv_with_bias=c.POSE_RESNET.DECONV_WITH_BIAS,
+                dtype=self.dtype,
+            )
+        if c.WITH_ATTN:
+            self.attn = PoseResAttnNet(
+                num_layers=c.ATTN_NUM_LAYERS,
+                num_joints=c.NETWORK.NUM_JOINTS,
+                dtype=self.dtype,
+            )
+        use_root_gt = c.NETWORK.USE_GT or c.NETWORK.TRAIN_ONLY_2D
+        if not use_root_gt:
+            self.root_net = RootNet(
+                space_size=tuple(c.MULTI_PERSON.SPACE_SIZE),
+                space_center=tuple(c.MULTI_PERSON.SPACE_CENTER),
+                cube_size=tuple(c.MULTI_PERSON.INITIAL_CUBE_SIZE),
+                image_wh=tuple(c.NETWORK.IMAGE_SIZE),
+                max_people=c.MULTI_PERSON.MAX_PEOPLE_NUM,
+                threshold=c.MULTI_PERSON.THRESHOLD,
+                syn_range=tuple(c.NETWORK.ROOTNET_SYN_RANGE),
+                hm_sigma=float(c.NETWORK.SIGMA),
+                dtype=self.dtype,
+            )
+        if not c.NETWORK.TRAIN_ONLY_2D and not c.NETWORK.TRAIN_ONLY_ROOTNET:
+            self.pose_net = PoseNet(
+                grid_size=tuple(c.PICT_STRUCT.GRID_SIZE),
+                cube_size=tuple(c.PICT_STRUCT.CUBE_SIZE),
+                image_wh=tuple(c.NETWORK.IMAGE_SIZE),
+                num_joints=c.NETWORK.NUM_JOINTS,
+                beta=c.NETWORK.BETA,
+                dtype=self.dtype,
+            )
+
+    # ------------------------------------------------------------------
+    def _heatmaps(self, branch: AugBranch, train: bool) -> jnp.ndarray:
+        """Backbone over all views in one folded pass -> (B, V, Hh, Wh, J)."""
+        if branch.views is None:
+            return branch.input_heatmaps
+        B, V, H, W, C = branch.views.shape
+        flat = branch.views.reshape(B * V, H, W, C)
+        hm = self.backbone(flat, train=train and self.cfg.NETWORK.TRAIN_BACKBONE)
+        return hm.reshape(B, V, hm.shape[1], hm.shape[2], hm.shape[3])
+
+    def _attns(self, branch: AugBranch, train: bool) -> jnp.ndarray:
+        B, V, H, W, C = branch.views.shape
+        flat = branch.views.reshape(B * V, H, W, C)
+        a = self.attn(flat, train=train)
+        return a.reshape(B, V, a.shape[1], a.shape[2], a.shape[3])
+
+    def _root_heatmaps(self, heatmaps: jnp.ndarray) -> jnp.ndarray:
+        """Select the root-joint channel when ROOTNET_ROOTHM
+        (ref: cuboid_proposal_net_soft.py:129-135)."""
+        if self.cfg.NETWORK.ROOTNET_ROOTHM:
+            rid = self.cfg.DATASET.ROOTIDX
+            return jax.lax.stop_gradient(heatmaps[..., rid : rid + 1])
+        return heatmaps
+
+    def _gt_grid_centers(self, branch: AugBranch) -> jnp.ndarray:
+        """Candidate slots from GT roots (ref: multi_person_posenet_ssv.py:124-131)."""
+        B = branch.batch_size
+        K = self.cfg.MULTI_PERSON.MAX_PEOPLE_NUM
+        gc = jnp.zeros((B, K, 5))
+        P = branch.roots_3d.shape[1]
+        roots = branch.roots_3d[:, :K]
+        gc = gc.at[:, : roots.shape[1], 0:3].set(roots)
+        slot = jnp.arange(K, dtype=jnp.float32)[None]
+        is_person = slot < branch.num_person[:, None].astype(jnp.float32)
+        gc = gc.at[:, :, 3].set(jnp.where(is_person, slot, -1.0))
+        gc = gc.at[:, :, 4].set(is_person.astype(jnp.float32))
+        return gc
+
+    # ------------------------------------------------------------------
+    def do_inference(
+        self,
+        branch: AugBranch,
+        visualize_attn: bool = False,
+    ):
+        """Inference path (ref: multi_person_posenet_ssv.py:105-153).
+
+        Returns (pred (B, K, J, 5), heatmaps, grid_centers[, attns]).
+        """
+        c = self.cfg
+        heatmaps = self._heatmaps(branch, train=False)
+        B = heatmaps.shape[0]
+        K = c.MULTI_PERSON.MAX_PEOPLE_NUM
+        J = c.NETWORK.NUM_JOINTS
+
+        if c.NETWORK.USE_GT or c.NETWORK.TRAIN_ONLY_2D:
+            grid_centers = self._gt_grid_centers(branch)
+        else:
+            _, grid_centers = self.root_net(
+                self._root_heatmaps(heatmaps),
+                branch.cam,
+                branch.trans,
+                branch.orig_wh,
+                hflip=None,
+                train=False,
+            )
+
+        pred = jnp.zeros((B, K, J, 5))
+        pred = pred.at[..., 3:].set(grid_centers[:, :, None, 3:])
+
+        run_posenet = (
+            not c.EVAL_ROOTNET_ONLY
+            and not c.NETWORK.TRAIN_ONLY_ROOTNET
+            and not c.NETWORK.TRAIN_ONLY_2D
+        )
+        if run_posenet:
+            poses, _ = self.pose_net(
+                heatmaps, branch.cam, branch.trans, branch.orig_wh,
+                grid_centers, hflip=None, train=False,
+            )
+            pred = pred.at[..., 0:3].set(jax.lax.stop_gradient(poses))
+
+        if visualize_attn:
+            attns = self._attns(branch, train=False)
+            return pred, heatmaps, grid_centers, attns
+        return pred, heatmaps, grid_centers
+
+    # ------------------------------------------------------------------
+    def _l1_matching_loss(
+        self,
+        kps_2d: jnp.ndarray,
+        cand_valid: jnp.ndarray,
+        joints: jnp.ndarray,
+        joints_vis: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Hungarian-matched normalized L1 (ref: multi_person_posenet_ssv.py:155-194).
+
+        Args:
+          kps_2d:     (B, V, K, J, 2) projected candidate joints (pixels).
+          cand_valid: (B, K)
+          joints:     (B, V, P, J, 2) pseudo-label joints.
+          joints_vis: (B, V, P, J, 2)
+        """
+        c = self.cfg
+        W = float(c.NETWORK.IMAGE_SIZE[0])
+        H = float(c.NETWORK.IMAGE_SIZE[1])
+        norm = jnp.array([W, H], jnp.float32)
+
+        pred_n = kps_2d / norm
+        tgt_n = joints / norm
+
+        # gt validity: person has any nonzero joint coordinate
+        gt_valid = jnp.sum(jnp.abs(joints), axis=(-1, -2)) != 0  # (B, V, P)
+
+        # cost[b,v,t,p] = mean_{j,c} |pred_p - tgt_t| * vis_t
+        diff = jnp.abs(
+            pred_n[:, :, None, :, :, :] - tgt_n[:, :, :, None, :, :]
+        )  # (B, V, P, K, J, 2)
+        cost = jnp.mean(diff * joints_vis[:, :, :, None, :, :], axis=(-1, -2))
+
+        B, V, P, K = cost.shape
+        flat_cost = cost.reshape(B * V, P, K)
+        flat_gt = gt_valid.reshape(B * V, P)
+        flat_cand = jnp.broadcast_to(
+            (cand_valid > 0)[:, None, :], (B, V, K)
+        ).reshape(B * V, K)
+
+        def one(cst, rv, cv):
+            # pad rows/cols to the common max size for the square solver
+            M = max(P, K)
+            sq = jnp.zeros((M, M), jnp.float32)
+            sq = sq.at[:P, :K].set(cst)
+            rmask = jnp.zeros(M, bool).at[:P].set(rv)
+            cmask = jnp.zeros(M, bool).at[:K].set(cv)
+            total = masked_assignment_cost(sq, rmask, cmask)
+            any_pair = jnp.any(rv) & jnp.any(cv)
+            return total * any_pair.astype(jnp.float32)
+
+        losses = jax.vmap(one)(flat_cost, flat_gt, flat_cand)  # (B*V,)
+
+        if c.L1_ATTN:
+            # drop the single worst view-sample term (ref: :187-191)
+            mask = jnp.ones_like(losses).at[jnp.argmax(losses)].set(0.0)
+            return jnp.sum(losses * mask) / (losses.shape[0] - 1)
+        return jnp.mean(losses)
+
+    # ------------------------------------------------------------------
+    def ssv_losses(
+        self,
+        branch1: AugBranch,
+        branch2: AugBranch,
+        branch3: AugBranch,
+        train_posenet_stage: bool = True,
+        use_l1_stage: bool = False,
+        train: bool = True,
+    ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """The six SSV loss terms (ref: multi_person_posenet_ssv.py:197-501).
+
+        ``train_posenet_stage`` / ``use_l1_stage`` are the static epoch gates
+        (epoch >= INIT_TRAIN_EPOCHS_ROOTNET / L1_EPOCH); recompiling once per
+        stage boundary beats carrying traced epoch conditionals.
+
+        Returns (pred2, heatmaps3, grid_centers, losses-dict).
+        """
+        c = self.cfg
+        losses: Dict[str, jnp.ndarray] = {}
+
+        heatmaps3 = self._heatmaps(branch3, train=train)
+        heatmaps1 = self._heatmaps(branch1, train=train)
+        heatmaps2 = self._heatmaps(branch2, train=train)
+        if c.WITH_ATTN:
+            attns1 = self._attns(branch1, train=train)
+            attns2 = self._attns(branch2, train=train)
+
+        # ---- 2D heatmap loss vs pseudo labels (ref: :281-290)
+        if branch1.target_2d is not None:
+            losses["loss_2d"] = (
+                _mse(branch1.target_2d, heatmaps1)
+                + _mse(branch2.target_2d, heatmaps2)
+                + _mse(branch3.target_2d, heatmaps3)
+            ) / 3.0
+        else:
+            losses["loss_2d"] = jnp.float32(0.0)
+
+        if c.NETWORK.TRAIN_ONLY_2D:
+            return None, heatmaps3, None, losses
+
+        # ---- RootNet (ref: :297-335)
+        use_root_gt = c.NETWORK.USE_GT
+        if use_root_gt:
+            grid_centers = self._gt_grid_centers(branch3)
+        elif c.NETWORK.FREEZE_ROOTNET:
+            _, grid_centers = self.root_net(
+                self._root_heatmaps(heatmaps3),
+                branch3.cam, branch3.trans, branch3.orig_wh,
+                hflip=branch3.hflip, train=False,
+            )
+            grid_centers = jax.lax.stop_gradient(grid_centers)
+        else:
+            hm_wh = (heatmaps3.shape[3], heatmaps3.shape[2])
+
+            def run_root(br, hms):
+                main, gc = self.root_net(
+                    self._root_heatmaps(hms), br.cam, br.trans, br.orig_wh,
+                    hflip=br.hflip, train=train,
+                )
+                return main, gc
+
+            main1, _ = run_root(branch1, heatmaps1)
+            main2, _ = run_root(branch2, heatmaps2)
+            main3, grid_centers = run_root(branch3, heatmaps3)
+
+            if c.NETWORK.ROOTNET_TRAIN_SYNTH and train:
+                syn1, tgt1 = self.root_net.train_synth(
+                    branch1.cam, branch1.trans, branch1.orig_wh, hm_wh,
+                    hflip=branch1.hflip, train=train,
+                )
+                syn2, tgt2 = self.root_net.train_synth(
+                    branch2.cam, branch2.trans, branch2.orig_wh, hm_wh,
+                    hflip=branch2.hflip, train=train,
+                )
+                syn3, tgt3 = self.root_net.train_synth(
+                    branch3.cam, branch3.trans, branch3.orig_wh, hm_wh,
+                    hflip=branch3.hflip, train=train,
+                )
+                loss_root_syn = _mse(syn1, tgt1) + _mse(syn2, tgt2) + _mse(syn3, tgt3)
+                losses["loss_root_syn"] = c.NETWORK.WEIGHT_ROOT_SYN * loss_root_syn
+                if c.NETWORK.ROOT_CONSISTENCY_LOSS:
+                    main3_sg = jax.lax.stop_gradient(main3)
+                    losses["loss_root_reg"] = c.NETWORK.WEIGHT_ROOT_REG * (
+                        _mse(main1, main3_sg) + _mse(main2, main3_sg)
+                    )
+            else:
+                # supervised 3D-cube loss variant (ref: :331-335)
+                losses["loss_root_reg"] = _mse(main1, branch1.target_3d) + _mse(
+                    main2, branch2.target_3d
+                )
+
+        if c.NETWORK.TRAIN_ONLY_ROOTNET:
+            return None, heatmaps3, grid_centers, losses
+
+        # ---- PoseNet + cross-augmentation projection losses (ref: :340-499)
+        B = heatmaps1.shape[0]
+        K = c.MULTI_PERSON.MAX_PEOPLE_NUM
+        J = c.NETWORK.NUM_JOINTS
+        zero = jnp.float32(0.0)
+        pred2_out = None
+
+        if train_posenet_stage:
+            single = c.NETWORK.SINGLE_AUG_TRAINING_POSENET
+            pred1, valid = self.pose_net(
+                heatmaps1, branch1.cam, branch1.trans, branch1.orig_wh,
+                grid_centers, hflip=branch1.hflip, train=train,
+            )
+            if not single:
+                pred2, _ = self.pose_net(
+                    heatmaps2, branch2.cam, branch2.trans, branch2.orig_wh,
+                    grid_centers, hflip=branch2.hflip, train=train,
+                )
+
+            any_valid = (jnp.sum(valid) > 0).astype(jnp.float32)
+            hm_wh = (heatmaps1.shape[3], heatmaps1.shape[2])
+
+            def project_and_render(pred, br_to):
+                """Project (B, K, J, 3) into br_to's views and render gaussians."""
+                kps = project_points_with_trans(
+                    pred.reshape(B, 1, K * J, 3), br_to.cam, br_to.trans
+                ).reshape(B, br_to.num_views, K, J, 2)
+                hm = render_gaussian_heatmaps(
+                    kps, hm_wh, sigma=3.0, coord_scale=0.25,
+                    mask=jnp.broadcast_to(
+                        valid[:, None], (B, br_to.num_views, K)
+                    ),
+                )  # (B, V, J, H, W)
+                return kps, jnp.transpose(hm, (0, 1, 3, 4, 2))
+
+            if single:
+                kps11, hm11 = project_and_render(pred1, branch1)
+                losses["loss_pose3d_ssv"] = (
+                    _mse(branch1.target_2d, hm11) * any_valid
+                )
+                pred2_out = jax.lax.stop_gradient(
+                    jnp.concatenate(
+                        [pred1, jnp.broadcast_to(
+                            grid_centers[:, :, None, 3:], (B, K, J, 2)
+                        )], axis=-1,
+                    )
+                )
+            else:
+                kps12, hm12 = project_and_render(pred1, branch2)
+                kps21, hm21 = project_and_render(pred2, branch1)
+
+                if c.WITH_ATTN:
+                    # attns share the heatmap layout (B, V, H, W, J)
+                    l1 = jnp.mean(((branch1.target_2d - hm21) ** 2) * attns1)
+                    l2 = jnp.mean(((branch2.target_2d - hm12) ** 2) * attns2)
+                else:
+                    l1 = _mse(branch1.target_2d, hm21)
+                    l2 = _mse(branch2.target_2d, hm12)
+                losses["loss_pose3d_ssv"] = (l1 + l2) * any_valid
+
+                if c.WITH_ATTN:
+                    losses["loss_attn_ssv"] = (
+                        (_mse(attns1, jnp.ones_like(attns1))
+                         + _mse(attns2, jnp.ones_like(attns2)))
+                        * c.ATTN_WEIGHT * any_valid
+                    )
+                if c.USE_L1 and use_l1_stage:
+                    losses["loss_pose3d_l1_ssv"] = (
+                        self._l1_matching_loss(
+                            kps12, valid, branch2.joints, branch2.joints_vis
+                        )
+                        + self._l1_matching_loss(
+                            kps21, valid, branch1.joints, branch1.joints_vis
+                        )
+                    ) * c.L1_WEIGHT * any_valid
+
+                pred2_out = jax.lax.stop_gradient(
+                    jnp.concatenate(
+                        [pred2, jnp.broadcast_to(
+                            grid_centers[:, :, None, 3:], (B, K, J, 2)
+                        )], axis=-1,
+                    )
+                )
+        else:
+            losses["loss_pose3d_ssv"] = zero
+
+        return pred2_out, heatmaps3, grid_centers, losses
+
+    def __call__(self, branch: AugBranch):
+        """Default apply path = inference (keeps init simple)."""
+        return self.do_inference(branch)
+
+
+class MultiPersonPoseNet(nn.Module):
+    """Supervised VoxelPose baseline (ref: lib/models/multi_person_posenet.py)."""
+
+    cfg: Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        if c.BACKBONE_MODEL:
+            self.backbone = PoseResNet(
+                num_layers=c.POSE_RESNET.NUM_LAYERS,
+                num_joints=c.NETWORK.NUM_JOINTS,
+                deconv_filters=tuple(c.POSE_RESNET.NUM_DECONV_FILTERS),
+                deconv_kernels=tuple(c.POSE_RESNET.NUM_DECONV_KERNELS),
+                final_conv_kernel=c.POSE_RESNET.FINAL_CONV_KERNEL,
+                deconv_with_bias=c.POSE_RESNET.DECONV_WITH_BIAS,
+                dtype=self.dtype,
+            )
+        if not c.NETWORK.USE_GT:
+            self.root_net = RootNet(
+                space_size=tuple(c.MULTI_PERSON.SPACE_SIZE),
+                space_center=tuple(c.MULTI_PERSON.SPACE_CENTER),
+                cube_size=tuple(c.MULTI_PERSON.INITIAL_CUBE_SIZE),
+                image_wh=tuple(c.NETWORK.IMAGE_SIZE),
+                max_people=c.MULTI_PERSON.MAX_PEOPLE_NUM,
+                threshold=c.MULTI_PERSON.THRESHOLD,
+                dtype=self.dtype,
+            )
+        if not c.NETWORK.TRAIN_ONLY_2D:
+            self.pose_net = PoseNet(
+                grid_size=tuple(c.PICT_STRUCT.GRID_SIZE),
+                cube_size=tuple(c.PICT_STRUCT.CUBE_SIZE),
+                image_wh=tuple(c.NETWORK.IMAGE_SIZE),
+                num_joints=c.NETWORK.NUM_JOINTS,
+                beta=c.NETWORK.BETA,
+                dtype=self.dtype,
+            )
+
+    def __call__(self, branch: AugBranch, train: bool = False):
+        """-> (pred (B,K,J,5), heatmaps, grid_centers, losses dict)."""
+        c = self.cfg
+        if branch.views is not None:
+            B, V, H, W, C = branch.views.shape
+            hm = self.backbone(
+                branch.views.reshape(B * V, H, W, C),
+                train=train and c.NETWORK.TRAIN_BACKBONE,
+            )
+            heatmaps = hm.reshape(B, V, *hm.shape[1:])
+        else:
+            heatmaps = branch.input_heatmaps
+            B, V = heatmaps.shape[:2]
+
+        losses: Dict[str, jnp.ndarray] = {}
+        if branch.target_2d is not None:
+            # per-joint MSE with target weights (ref: loss.py:39-55, model :50-55)
+            if branch.weights_2d is not None:
+                w = branch.weights_2d[:, :, None, None, :, 0]  # (B,V,1,1,J)
+                losses["loss_2d"] = jnp.mean(
+                    ((heatmaps - branch.target_2d) * w) ** 2
+                )
+            else:
+                losses["loss_2d"] = _mse(heatmaps, branch.target_2d)
+        else:
+            losses["loss_2d"] = jnp.float32(0.0)
+
+        if c.NETWORK.TRAIN_ONLY_2D:
+            return None, heatmaps, None, losses
+
+        if c.NETWORK.USE_GT:
+            K = c.MULTI_PERSON.MAX_PEOPLE_NUM
+            gc = jnp.zeros((B, K, 5))
+            gc = gc.at[:, : branch.roots_3d.shape[1], 0:3].set(branch.roots_3d[:, :K])
+            slot = jnp.arange(K, dtype=jnp.float32)[None]
+            is_person = slot < branch.num_person[:, None].astype(jnp.float32)
+            gc = gc.at[:, :, 3].set(jnp.where(is_person, slot, -1.0))
+            gc = gc.at[:, :, 4].set(is_person.astype(jnp.float32))
+            grid_centers = gc
+        else:
+            rid = c.DATASET.ROOTIDX_PSEUDO
+            root_hm = (
+                heatmaps[..., rid : rid + 1]
+                if c.NETWORK.ROOTNET_ROOTHM
+                else heatmaps
+            )
+            root_cubes, grid_centers = self.root_net(
+                root_hm, branch.cam, branch.trans, branch.orig_wh, train=train
+            )
+            if branch.target_3d is not None:
+                losses["loss_3d"] = _mse(root_cubes, branch.target_3d)
+            if train and branch.roots_3d is not None and branch.num_person is not None:
+                from selfpose3d_tpu.ops.proposal import match_proposals_to_gt
+
+                flag = match_proposals_to_gt(
+                    grid_centers[..., :3], branch.roots_3d, branch.num_person
+                )
+                grid_centers = grid_centers.at[..., 3].set(flag)
+
+        K = c.MULTI_PERSON.MAX_PEOPLE_NUM
+        J = c.NETWORK.NUM_JOINTS
+        pred = jnp.zeros((B, K, J, 5))
+        pred = pred.at[..., 3:].set(grid_centers[:, :, None, 3:])
+
+        poses, valid = self.pose_net(
+            heatmaps, branch.cam, branch.trans, branch.orig_wh,
+            grid_centers, train=train,
+        )
+        pred = pred.at[..., 0:3].set(poses)
+
+        # weighted L1 vs matched GT poses (ref: multi_person_posenet.py:84-100)
+        if train and branch.joints is None and branch.roots_3d is not None:
+            pass  # 3D GT pose loss needs joints_3d; wired in the train step
+        return pred, heatmaps, grid_centers, losses

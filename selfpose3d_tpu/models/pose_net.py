@@ -1,0 +1,98 @@
+"""PoseNet: per-candidate fine 3D pose regression.
+
+Re-design of PoseRegressionNet (ref: lib/models/pose_regression_net.py:31-53):
+a 2m^3 cube of 64^3 voxels is centered at every root candidate, per-view
+heatmaps are unprojected into it, a V2VNet (J->J) scores each joint per voxel,
+and a soft-argmax regresses metric joint positions.
+
+TPU-first: the reference loops python-side over the MAX_PEOPLE_NUM candidates,
+calling the whole stack per candidate (ref: multi_person_posenet_ssv.py:354-383).
+Here all K candidates are a masked array axis: sampling coordinates are built
+for (B, K, N) points against the *same* per-view heatmaps (no data
+duplication), and one V2V pass runs on the folded (B*K) batch — big, regular
+MXU work instead of K small launches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from selfpose3d_tpu.geometry.cameras import CameraParams
+from selfpose3d_tpu.geometry.grid import compute_grid
+from selfpose3d_tpu.models.v2v_net import V2VNet
+from selfpose3d_tpu.ops.softargmax import soft_argmax
+from selfpose3d_tpu.ops.unproject import compute_sample_grid, sample_and_aggregate
+
+
+class PoseNet(nn.Module):
+    grid_size: Tuple[float, float, float] = (2000.0, 2000.0, 2000.0)
+    cube_size: Tuple[int, int, int] = (64, 64, 64)
+    image_wh: Tuple[int, int] = (960, 512)
+    num_joints: int = 15
+    beta: float = 100.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.v2v_net = V2VNet(out_ch=self.num_joints, dtype=self.dtype)
+
+    def __call__(
+        self,
+        heatmaps: jnp.ndarray,
+        cam: CameraParams,
+        trans: jnp.ndarray,
+        orig_wh: jnp.ndarray,
+        grid_centers: jnp.ndarray,
+        hflip: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """All-candidate pose regression.
+
+        Args:
+          heatmaps:     (B, V, H, W, J)
+          cam:          CameraParams batched (B, V)
+          trans:        (B, V, 2or3, 3)
+          orig_wh:      (B, V, 2)
+          grid_centers: (B, K, 5) proposals [x, y, z, flag, score]
+          hflip:        optional (B,)
+        Returns:
+          pred:  (B, K, J, 3) world-mm joints (zeros for invalid candidates)
+          valid: (B, K) float candidate mask (flag >= 0)
+        """
+        B, V, H, W, J = heatmaps.shape
+        K = grid_centers.shape[1]
+        X, Y, Z = (int(s) for s in self.cube_size)
+        N = X * Y * Z
+
+        centers = grid_centers[..., :3]  # (B, K, 3)
+        valid = (grid_centers[..., 3] >= 0).astype(jnp.float32)  # (B, K)
+
+        # per-candidate voxel grids: (B, K, N, 3)
+        grids = jax.vmap(jax.vmap(
+            lambda c: compute_grid(self.grid_size, c, self.cube_size)
+        ))(centers)
+
+        # sampling coords for all candidates against each view's heatmap:
+        # grid (B, 1(V), K*N, 3) vs cam (B, V) -> (B, V, K*N, 2)
+        flat_grids = grids.reshape(B, 1, K * N, 3)
+        sample_grid, bounding = compute_sample_grid(
+            flat_grids, cam, trans, self.image_wh, (W, H),
+            hflip=None if hflip is None else jnp.broadcast_to(
+                jnp.asarray(hflip).reshape(-1, 1), (B, V)
+            ),
+            orig_wh=orig_wh,
+        )
+        feats = sample_and_aggregate(heatmaps, sample_grid, bounding)  # (B, K*N, J)
+
+        cubes = feats.reshape(B * K, X, Y, Z, J)
+        # zero invalid candidates' cubes so they contribute nothing downstream
+        cubes = cubes * valid.reshape(B * K, 1, 1, 1, 1)
+        scored = self.v2v_net(cubes, train=train)  # (B*K, X, Y, Z, J)
+
+        scores = scored.reshape(B, K, N, J).transpose(0, 1, 3, 2)  # (B, K, J, N)
+        pred = soft_argmax(scores, grids, beta=self.beta)  # (B, K, J, 3)
+        pred = pred * valid[..., None, None]
+        return pred, valid

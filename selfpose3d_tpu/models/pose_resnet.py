@@ -164,13 +164,13 @@ class PoseResNet(nn.Module):
         for i, (filters, kernel) in enumerate(
             zip(self.deconv_filters, self.deconv_kernels)
         ):
-            # torch ConvTranspose2d(k=4, s=2, p=1, op=0): exact 2x upsample
+            # torch ConvTranspose2d(k=4, s=2, p=1, op=0) == flax 'SAME' 2x up
             assert kernel == 4, "only k=4 deconvs supported (reference default)"
             x = nn.ConvTranspose(
                 filters,
                 (kernel, kernel),
                 strides=(2, 2),
-                padding=((1, 1), (1, 1)),
+                padding="SAME",
                 use_bias=self.deconv_with_bias,
                 kernel_init=head_init,
                 dtype=self.dtype,

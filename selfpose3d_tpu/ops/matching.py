@@ -119,7 +119,9 @@ def masked_assignment_cost(
     # scale — a huge constant (1e6) destroys f32 precision in the solver.
     pad_val = jnp.max(jnp.where(real, cost, 0.0)) + 1.0
     padded = jnp.where(real, cost, pad_val)
-    row2col = hungarian(padded)
+    # the assignment itself is non-differentiable (reference solves it on
+    # detached host tensors); gradients flow through the picked costs only
+    row2col = hungarian(jax.lax.stop_gradient(padded))
     picked = jnp.take_along_axis(padded, row2col[:, None], axis=1)[:, 0]
     picked_real = jnp.take_along_axis(
         real.astype(cost.dtype), row2col[:, None], axis=1

@@ -1,0 +1,193 @@
+"""Training/validation loops wiring datasets, jitted steps, sharding,
+checkpointing, and metric logging together.
+
+Replaces lib/core/function.py:27-508 and the epoch orchestration in
+tools/train_3d.py:78-236.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from selfpose3d_tpu.config import Config
+from selfpose3d_tpu.data.loader import PrefetchLoader, collate_branch
+from selfpose3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from selfpose3d_tpu.train.step import (
+    make_inference_step,
+    make_ssv_train_step,
+    make_supervised_train_step,
+)
+from selfpose3d_tpu.train.train_state import TrainState, create_train_state
+from selfpose3d_tpu.utils.meters import AverageMeter
+
+logger = logging.getLogger(__name__)
+
+
+def train_epoch_ssv(
+    cfg: Config,
+    model,
+    state: TrainState,
+    dataset,
+    epoch: int,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+    writer=None,
+    load_images: bool = True,
+) -> TrainState:
+    """One SSV training epoch (ref: function.py:27-217)."""
+    meters: Dict[str, AverageMeter] = {}
+    batch_time, data_time = AverageMeter(), AverageMeter()
+
+    step_fn = make_ssv_train_step(
+        model,
+        train_posenet_stage=epoch >= cfg.NETWORK.INIT_TRAIN_EPOCHS_ROOTNET,
+        use_l1_stage=epoch >= cfg.TRAIN.L1_EPOCH,
+    )
+    if rng is None:
+        rng = jax.random.PRNGKey(epoch)
+
+    n_dev = 1 if mesh is None else mesh.size
+    batch = cfg.TRAIN.BATCH_SIZE * n_dev
+
+    def make_batch(idxs):
+        b1s, b2s, b3s = [], [], []
+        for i in idxs:
+            b1, b2, b3 = dataset.get_ssv_frame(i, seed=epoch, load_images=load_images)
+            b1s.append(b1)
+            b2s.append(b2)
+            b3s.append(b3)
+        return (collate_branch(b1s), collate_branch(b2s), collate_branch(b3s))
+
+    loader = PrefetchLoader(
+        len(dataset), batch, make_batch,
+        shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS, seed=epoch,
+        drop_last=True,
+    )
+
+    end = time.time()
+    for i, (b1, b2, b3) in enumerate(loader):
+        data_time.update(time.time() - end)
+        if mesh is not None:
+            b1, b2, b3 = (shard_batch(b, mesh) for b in (b1, b2, b3))
+        state, metrics = step_fn(state, b1, b2, b3, rng)
+        if i % cfg.PRINT_FREQ == 0:
+            jax.block_until_ready(metrics["loss"])
+            batch_time.update(time.time() - end)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            speed = batch / max(batch_time.val, 1e-9)
+            msg = (
+                f"Epoch: [{epoch}][{i}/{len(loader)}] "
+                f"Time: {batch_time.val:.3f}s ({batch_time.avg:.3f}s) "
+                f"Speed: {speed:.1f} samples/s "
+                f"Data: {data_time.val:.3f}s ({data_time.avg:.3f}s) "
+                + " ".join(
+                    f"{k}: {m.val:.6f} ({m.avg:.6f})" for k, m in meters.items()
+                )
+            )
+            logger.info(msg)
+            if writer is not None:
+                step = int(state.step)
+                for k, m in meters.items():
+                    writer.add_scalar(f"train/{k}", m.val, step)
+        end = time.time()
+    return state
+
+
+def train_epoch_supervised(
+    cfg: Config, model, state: TrainState, dataset, epoch: int,
+    mesh=None, writer=None, load_images: bool = True,
+) -> TrainState:
+    """One supervised (VoxelPose baseline) epoch (ref: function.py:219-350)."""
+    meters: Dict[str, AverageMeter] = {}
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    step_fn = make_supervised_train_step(model)
+
+    n_dev = 1 if mesh is None else mesh.size
+    batch = cfg.TRAIN.BATCH_SIZE * n_dev
+
+    def make_batch(idxs):
+        frames = [dataset.get_frame(i, load_images=load_images) for i in idxs]
+        return collate_branch([f["views"] for f in frames])
+
+    loader = PrefetchLoader(
+        len(dataset), batch, make_batch,
+        shuffle=cfg.TRAIN.SHUFFLE, num_workers=cfg.WORKERS, seed=epoch,
+        drop_last=True,
+    )
+
+    end = time.time()
+    for i, branch in enumerate(loader):
+        data_time.update(time.time() - end)
+        if mesh is not None:
+            branch = shard_batch(branch, mesh)
+        state, metrics = step_fn(state, branch)
+        if i % cfg.PRINT_FREQ == 0:
+            jax.block_until_ready(metrics["loss"])
+            batch_time.update(time.time() - end)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            logger.info(
+                f"Epoch: [{epoch}][{i}/{len(loader)}] "
+                f"Time: {batch_time.val:.3f}s "
+                f"Data: {data_time.val:.3f}s "
+                + " ".join(f"{k}: {m.avg:.6f}" for k, m in meters.items())
+            )
+        end = time.time()
+    return state
+
+
+def validate_3d(
+    cfg: Config,
+    model,
+    state: TrainState,
+    dataset,
+    output_dir: str = "",
+    load_images: bool = True,
+) -> Optional[float]:
+    """Validation pass + dataset.evaluate (ref: function.py:352-490).
+
+    Returns the model-selection metric (mean AP over thresholds).
+    """
+    infer = make_inference_step(model)
+    batch = cfg.TEST.BATCH_SIZE
+
+    def make_batch(idxs):
+        frames = [dataset.get_frame(i, load_images=load_images) for i in idxs]
+        return collate_branch([f["views"] for f in frames]), len(idxs)
+
+    loader = PrefetchLoader(
+        len(dataset), batch, make_batch, shuffle=False, num_workers=cfg.WORKERS
+    )
+
+    all_preds, all_roots = [], []
+    for branch, n in loader:
+        pred, _, gc = infer(state.params, state.batch_stats, branch)
+        pred = np.asarray(pred)[:n]
+        gc = np.asarray(gc)[:n]
+        for b in range(n):
+            all_preds.append(pred[b])
+            all_roots.append(gc[b])
+
+    metrics = dataset.evaluate(all_preds, all_roots, output_dir)
+    aps = metrics.get("aps")
+    if aps is None:
+        return None
+    msg = (
+        "AP@25..150: " + " ".join(f"{a*100:.2f}" for a in metrics["aps"])
+        + f" | MPJPE@500: {metrics['mpjpe']:.2f}mm"
+        + f" | recall@500: {metrics['recall500']*100:.2f}"
+    )
+    if "aps_root" in metrics:
+        msg += (
+            " || root AP@25..150: "
+            + " ".join(f"{a*100:.2f}" for a in metrics["aps_root"])
+            + f" | root MPJPE: {metrics['mpjpe_root']:.2f}mm"
+        )
+    logger.info(msg)
+    return float(np.mean(metrics["aps"]))

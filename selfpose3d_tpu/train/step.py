@@ -1,0 +1,99 @@
+"""Jitted train/eval steps.
+
+Replaces the reference's python train loops (ref: lib/core/function.py:27-350)
+with jit-compiled step functions. The total loss is the sum of the mean of
+every loss term that carries gradient (ref: function.py:95), which under a
+batch-sharded jit compiles to per-device compute + an XLA-inserted psum —
+the SPMD equivalent of DataParallel's gather/mean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from selfpose3d_tpu.data.structures import AugBranch
+from selfpose3d_tpu.train.train_state import TrainState
+
+
+def make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
+    """Build the jitted SSV train step for the current epoch stage gates."""
+
+    @jax.jit
+    def train_step(
+        state: TrainState,
+        b1: AugBranch,
+        b2: AugBranch,
+        b3: AugBranch,
+        rng: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            (pred2, hm3, gc, losses), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                b1, b2, b3,
+                train_posenet_stage=train_posenet_stage,
+                use_l1_stage=use_l1_stage,
+                train=True,
+                method="ssv_losses",
+                rngs={"synth": step_rng},
+                mutable=["batch_stats"],
+            )
+            total = sum(jnp.mean(v) for v in losses.values())
+            return total, (losses, mut)
+
+        (total, (losses, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mut["batch_stats"]
+        )
+        metrics = {k: jnp.mean(v) for k, v in losses.items()}
+        metrics["loss"] = total
+        return new_state, metrics
+
+    return train_step
+
+
+def make_supervised_train_step(model):
+    """Train step for the VoxelPose baseline (ref: function.py:219-350)."""
+
+    @jax.jit
+    def train_step(state: TrainState, branch: AugBranch):
+        def loss_fn(params):
+            (pred, hm, gc, losses), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                branch, train=True, mutable=["batch_stats"],
+            )
+            total = sum(jnp.mean(v) for v in losses.values())
+            return total, (losses, mut)
+
+        (total, (losses, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mut["batch_stats"]
+        )
+        metrics = {k: jnp.mean(v) for k, v in losses.items()}
+        metrics["loss"] = total
+        return new_state, metrics
+
+    return train_step
+
+
+def make_inference_step(model):
+    """Jitted inference (ref: multi_person_posenet_ssv.py:105-153)."""
+
+    @jax.jit
+    def infer(params, batch_stats, branch: AugBranch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            branch,
+            method="do_inference",
+        )
+
+    return infer
