@@ -34,9 +34,14 @@ def main():
     branch, _ = make_synthetic_branch(
         cfg, batch_size=BATCH, num_person=3, with_images=True
     )
+    # init at B=1: uncompiled init at full batch would blow HBM; params are
+    # batch-agnostic.
+    import jax.numpy as jnp
+
+    branch1, _ = make_synthetic_branch(cfg, batch_size=1, num_person=3, with_images=True)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)},
-        branch,
+        branch1,
     )
 
     @jax.jit

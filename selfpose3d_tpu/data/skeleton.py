@@ -75,27 +75,39 @@ def coco_to_panoptic(coco_kps: np.ndarray) -> np.ndarray:
     return out
 
 
+def _shelf_head_interp(shelf: np.ndarray, nose: np.ndarray,
+                       mid_sho: np.ndarray, head_center: np.ndarray) -> np.ndarray:
+    """Shared head-joint interpolation (ref: lib/dataset/shelf.py:258-270)."""
+    head_bottom = (mid_sho + head_center) / 2.0
+    head_top = head_bottom + (head_center - head_bottom) * 2.0
+    shelf[12] = (shelf[8] + shelf[9]) / 2.0
+    shelf[13] = nose
+    shelf[13] = shelf[12] + (shelf[13] - shelf[12]) * np.array([0.75, 0.75, 1.5])
+    shelf[12] = shelf[12] + (nose - shelf[12]) * np.array([0.5, 0.5, 0.5])
+    alpha = 0.75
+    shelf[13] = shelf[13] * alpha + head_top * (1 - alpha)
+    shelf[12] = shelf[12] * alpha + head_bottom * (1 - alpha)
+    return shelf
+
+
 def coco_to_shelf_3d(coco_pose: np.ndarray) -> np.ndarray:
-    """COCO-17 3D pose -> Shelf-14 with head synthesis heuristics
+    """COCO-17 3D pose -> Shelf-14 with head interpolation
     (ref: lib/dataset/shelf.py:242-271)."""
-    coco = np.asarray(coco_pose, dtype=np.float32)
-    shelf = np.zeros((14, 3), dtype=np.float32)
+    coco = np.asarray(coco_pose, dtype=np.float64)
+    shelf = np.zeros((14, 3), dtype=np.float64)
     order = [16, 14, 12, 11, 13, 15, 10, 8, 6, 5, 7, 9]
     shelf[:12] = coco[order]
     mid_sho = (coco[5] + coco[6]) / 2.0
     head_center = (coco[3] + coco[4]) / 2.0
-    shelf[12] = mid_sho + (head_center - mid_sho) * 0.5
-    shelf[13] = coco[0] + (head_center - coco[0]) * 2.0
-    return shelf
+    return _shelf_head_interp(shelf, coco[0], mid_sho, head_center)
 
 
 def panoptic_to_shelf_3d(pan_pose: np.ndarray) -> np.ndarray:
     """Panoptic-15 3D pose -> Shelf-14 (ref: lib/dataset/shelf.py:273-303)."""
-    pan = np.asarray(pan_pose, dtype=np.float32)
-    shelf = np.zeros((14, 3), dtype=np.float32)
+    pan = np.asarray(pan_pose, dtype=np.float64)
+    shelf = np.zeros((14, 3), dtype=np.float64)
     order = [14, 13, 12, 6, 7, 8, 11, 10, 9, 3, 4, 5]
     shelf[:12] = pan[order]
-    # bottom-head = neck, top-head extrapolated from nose above neck
-    shelf[12] = pan[0]
-    shelf[13] = pan[0] + (pan[1] - pan[0]) * 2.0
-    return shelf
+    mid_sho = (pan[3] + pan[9]) / 2.0
+    head_center = pan[1]  # nose
+    return _shelf_head_interp(shelf, pan[1], mid_sho, head_center)

@@ -160,21 +160,97 @@ def panoptic_metrics(
 
 
 # ------------------------------------------------------------- PCP (shelf)
-# limb bone list as (joint_a, joint_b) index pairs into the 14-joint
-# shelf/campus skeleton (ref: lib/dataset/shelf.py:189-214)
-SHELF_LIMBS = [
-    (0, 1), (1, 2), (3, 4), (4, 5),  # legs
-    (6, 7), (7, 8), (9, 10), (10, 11),  # arms
-    (12, 13),  # head-neck
+# limb bone list into the 14-joint shelf/campus skeleton
+# (ref: lib/dataset/shelf.py:180)
+SHELF_PCP_LIMBS = [
+    (0, 1), (1, 2), (3, 4), (4, 5),      # legs
+    (6, 7), (7, 8), (9, 10), (10, 11),   # arms
+    (12, 13),                            # head
 ]
 PCP_BONE_GROUPS = {
+    # group -> limb indices into the 10-wide correct-parts table
+    # (ref: shelf.py:232-236; index 9 is the virtual torso bone)
     "Head": [8],
-    "Torso": [],  # torso handled separately (hip-shoulder virtual bone)
-    "Upper arms": [5, 7],
-    "Lower arms": [4, 6],
-    "Upper legs": [1, 3],
-    "Lower legs": [0, 2],
+    "Torso": [9],
+    "Upper arms": [5, 6],
+    "Lower arms": [4, 7],
+    "Upper legs": [1, 2],
+    "Lower legs": [0, 3],
 }
+
+
+def pcp_evaluate(
+    preds: Sequence[np.ndarray],
+    actor_3d: Sequence[Sequence[Optional[np.ndarray]]],
+    alpha: float = 0.5,
+    recall_threshold: float = 500.0,
+) -> Dict[str, object]:
+    """Per-actor PCP protocol for Shelf/Campus (ref: shelf.py:172-240).
+
+    Args:
+      preds:    per frame, (N, 14, 3) shelf-order predictions (already
+                converted and flag-filtered).
+      actor_3d: actor_3d[person][frame] -> (14, 3) gt in mm or empty.
+    Returns:
+      dict with actor_pcp, avg_pcp (mean over first 3 actors), bone-group
+      table, and recall@500.
+    """
+    num_person = len(actor_3d)
+    total_gt = 0
+    match_gt = 0
+    correct_parts = np.zeros(num_person)
+    total_parts = np.zeros(num_person)
+    bone_correct_parts = np.zeros((num_person, 10))
+
+    for fi, pred in enumerate(preds):
+        pred = np.asarray(pred)
+        if pred.size == 0:
+            continue
+        for person in range(num_person):
+            gt = actor_3d[person][fi]
+            if gt is None or len(np.asarray(gt)) == 0 or len(np.asarray(gt)[0]) == 0:
+                continue
+            gt = np.asarray(gt)
+            mpjpes = np.mean(
+                np.sqrt(np.sum((gt[np.newaxis] - pred) ** 2, axis=-1)), axis=-1
+            )
+            min_n = int(np.argmin(mpjpes))
+            if float(np.min(mpjpes)) < recall_threshold:
+                match_gt += 1
+            total_gt += 1
+
+            for j, (a, b) in enumerate(SHELF_PCP_LIMBS):
+                total_parts[person] += 1
+                e_s = np.linalg.norm(pred[min_n, a, :3] - gt[a])
+                e_e = np.linalg.norm(pred[min_n, b, :3] - gt[b])
+                bone = np.linalg.norm(gt[a] - gt[b])
+                if (e_s + e_e) / 2.0 <= alpha * bone:
+                    correct_parts[person] += 1
+                    bone_correct_parts[person, j] += 1
+            pred_hip = (pred[min_n, 2, :3] + pred[min_n, 3, :3]) / 2.0
+            gt_hip = (gt[2] + gt[3]) / 2.0
+            total_parts[person] += 1
+            e_s = np.linalg.norm(pred_hip - gt_hip)
+            e_e = np.linalg.norm(pred[min_n, 12, :3] - gt[12])
+            bone = np.linalg.norm(gt_hip - gt[12])
+            if (e_s + e_e) / 2.0 <= alpha * bone:
+                correct_parts[person] += 1
+                bone_correct_parts[person, 9] += 1
+
+    actor_pcp = correct_parts / (total_parts + 1e-8)
+    bone_person_pcp = {
+        k: (
+            np.sum(bone_correct_parts[:, v], axis=-1)
+            / (total_parts / 10 * len(v) + 1e-8)
+        )
+        for k, v in PCP_BONE_GROUPS.items()
+    }
+    return {
+        "actor_pcp": actor_pcp,
+        "avg_pcp": float(np.mean(actor_pcp[:3])) if num_person >= 3 else float(np.mean(actor_pcp)),
+        "bone_person_pcp": bone_person_pcp,
+        "recall500": match_gt / (total_gt + 1e-8),
+    }
 
 
 def pcp_shelf(
@@ -182,37 +258,25 @@ def pcp_shelf(
     gts: Sequence[np.ndarray],
     alpha: float = 0.5,
 ) -> Dict[str, float]:
-    """Per-limb PCP@alpha for one actor's matched predictions.
-
-    preds_matched[i] is the (14, 3) prediction matched to gts[i] (or None).
-    A limb is correct when both endpoint errors are < alpha * limb length
-    (ref: shelf.py:198-214).
-    """
-    correct = np.zeros(len(SHELF_LIMBS) + 1)
-    total = np.zeros(len(SHELF_LIMBS) + 1)
+    """Simple matched-pair PCP helper (testing convenience)."""
+    correct = np.zeros(len(SHELF_PCP_LIMBS) + 1)
+    total = np.zeros(len(SHELF_PCP_LIMBS) + 1)
     for pred, gt in zip(preds_matched, gts):
         if gt is None or len(gt) == 0:
             continue
-        total[: len(SHELF_LIMBS)] += 1
-        total[-1] += 1  # torso
+        total += 1
         if pred is None:
             continue
-        for li, (a, b) in enumerate(SHELF_LIMBS):
+        for li, (a, b) in enumerate(SHELF_PCP_LIMBS):
             bone = np.linalg.norm(gt[a] - gt[b])
-            ea = np.linalg.norm(pred[a] - gt[a])
-            eb = np.linalg.norm(pred[b] - gt[b])
-            if (ea + eb) / 2.0 <= alpha * bone:
+            e = (np.linalg.norm(pred[a] - gt[a]) + np.linalg.norm(pred[b] - gt[b])) / 2.0
+            if e <= alpha * bone:
                 correct[li] += 1
-        # torso: hip-midpoint to shoulder-midpoint (ref: shelf.py:216-224)
         gt_hip = (gt[2] + gt[3]) / 2.0
         pred_hip = (pred[2] + pred[3]) / 2.0
         bone = np.linalg.norm(gt_hip - gt[12])
         e = (np.linalg.norm(pred_hip - gt_hip) + np.linalg.norm(pred[12] - gt[12])) / 2.0
         if e <= alpha * bone:
             correct[-1] += 1
-    out = {}
-    labels = [f"limb{i}" for i in range(len(SHELF_LIMBS))] + ["torso"]
-    for lab, c, t in zip(labels, correct, total):
-        out[lab] = float(c / t) if t > 0 else 0.0
-    out["avg"] = float(correct.sum() / total.sum()) if total.sum() > 0 else 0.0
+    out = {"avg": float(correct.sum() / total.sum()) if total.sum() > 0 else 0.0}
     return out

@@ -88,13 +88,29 @@ class MultiPersonPoseNetSSV(nn.Module):
 
     # ------------------------------------------------------------------
     def _heatmaps(self, branch: AugBranch, train: bool) -> jnp.ndarray:
-        """Backbone over all views in one folded pass -> (B, V, Hh, Wh, J)."""
+        """Backbone -> (B, V, Hh, Wh, J).
+
+        Training folds (B, V) into one batch for maximum MXU occupancy; at
+        inference the views are processed as V sequential B-sized chunks,
+        keeping only one view's ResNet activations live (a 5x peak-HBM
+        reduction at 960x512 — the folded version OOMs a 16G v5e at B=4).
+        """
         if branch.views is None:
             return branch.input_heatmaps
         B, V, H, W, C = branch.views.shape
-        flat = branch.views.reshape(B * V, H, W, C)
-        hm = self.backbone(flat, train=train and self.cfg.NETWORK.TRAIN_BACKBONE)
-        return hm.reshape(B, V, hm.shape[1], hm.shape[2], hm.shape[3])
+        bn_train = train and self.cfg.NETWORK.TRAIN_BACKBONE
+        if train:
+            flat = branch.views.reshape(B * V, H, W, C)
+            hm = self.backbone(flat, train=bn_train)
+            return hm.reshape(B, V, hm.shape[1], hm.shape[2], hm.shape[3])
+        hm = nn.scan(
+            lambda mdl, _, v: (None, mdl(v, train=False)),
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )(self.backbone, None, jnp.moveaxis(branch.views, 1, 0))[1]
+        return jnp.moveaxis(hm, 0, 1)
 
     def _attns(self, branch: AugBranch, train: bool) -> jnp.ndarray:
         B, V, H, W, C = branch.views.shape
@@ -247,25 +263,38 @@ class MultiPersonPoseNetSSV(nn.Module):
         (epoch >= INIT_TRAIN_EPOCHS_ROOTNET / L1_EPOCH); recompiling once per
         stage boundary beats carrying traced epoch conditionals.
 
+        TPU-first restructuring: the reference runs each network once per
+        augmentation branch (15 sequential ResNet passes per step,
+        ref: :227-275). Here the branches are FOLDED into the batch axis —
+        one backbone call on 3B, one attention call on 2B, one RootNet main +
+        one synthetic pass on 3B, one PoseNet pass on 2B — algebraically
+        identical losses (branch shapes are equal so concatenated means
+        decompose exactly), one-third the traced graph, and far better MXU
+        utilisation. The one intentional deviation: train-mode BatchNorm
+        statistics pool over branches/views instead of per-call (the
+        reference itself computes them per DataParallel replica).
+
         Returns (pred2, heatmaps3, grid_centers, losses-dict).
         """
         c = self.cfg
         losses: Dict[str, jnp.ndarray] = {}
+        B = branch1.batch_size
 
-        heatmaps3 = self._heatmaps(branch3, train=train)
-        heatmaps1 = self._heatmaps(branch1, train=train)
-        heatmaps2 = self._heatmaps(branch2, train=train)
+        def cat(*trees):
+            return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+
+        branches_all = cat(branch1, branch2, branch3)  # (3B, ...)
+        heatmaps_all = self._heatmaps(branches_all, train=train)  # (3B, V, H, W, J)
+        heatmaps1, heatmaps2, heatmaps3 = jnp.split(heatmaps_all, 3, axis=0)
+
+        branches_12 = cat(branch1, branch2)  # (2B, ...)
         if c.WITH_ATTN:
-            attns1 = self._attns(branch1, train=train)
-            attns2 = self._attns(branch2, train=train)
+            attns_12 = self._attns(branches_12, train=train)  # (2B, V, H, W, J)
 
         # ---- 2D heatmap loss vs pseudo labels (ref: :281-290)
         if branch1.target_2d is not None:
-            losses["loss_2d"] = (
-                _mse(branch1.target_2d, heatmaps1)
-                + _mse(branch2.target_2d, heatmaps2)
-                + _mse(branch3.target_2d, heatmaps3)
-            ) / 3.0
+            # equal-size branches: mse over the fold == mean of the 3 mses
+            losses["loss_2d"] = _mse(branches_all.target_2d, heatmaps_all)
         else:
             losses["loss_2d"] = jnp.float32(0.0)
 
@@ -284,88 +313,65 @@ class MultiPersonPoseNetSSV(nn.Module):
             )
             grid_centers = jax.lax.stop_gradient(grid_centers)
         else:
-            hm_wh = (heatmaps3.shape[3], heatmaps3.shape[2])
+            hm_wh = (heatmaps_all.shape[3], heatmaps_all.shape[2])
 
-            def run_root(br, hms):
-                main, gc = self.root_net(
-                    self._root_heatmaps(hms), br.cam, br.trans, br.orig_wh,
-                    hflip=br.hflip, train=train,
-                )
-                return main, gc
-
-            main1, _ = run_root(branch1, heatmaps1)
-            main2, _ = run_root(branch2, heatmaps2)
-            main3, grid_centers = run_root(branch3, heatmaps3)
+            main_all, gc_all = self.root_net(
+                self._root_heatmaps(heatmaps_all),
+                branches_all.cam, branches_all.trans, branches_all.orig_wh,
+                hflip=branches_all.hflip, train=train,
+            )
+            grid_centers = gc_all[2 * B :]
+            main12, main3 = main_all[: 2 * B], main_all[2 * B :]
 
             if c.NETWORK.ROOTNET_TRAIN_SYNTH and train:
-                syn1, tgt1 = self.root_net.train_synth(
-                    branch1.cam, branch1.trans, branch1.orig_wh, hm_wh,
-                    hflip=branch1.hflip, train=train,
+                syn_all, tgt_all = self.root_net.train_synth(
+                    branches_all.cam, branches_all.trans, branches_all.orig_wh,
+                    hm_wh, hflip=branches_all.hflip, train=train,
                 )
-                syn2, tgt2 = self.root_net.train_synth(
-                    branch2.cam, branch2.trans, branch2.orig_wh, hm_wh,
-                    hflip=branch2.hflip, train=train,
+                # sum of 3 branch mses == 3 * mse over the fold
+                losses["loss_root_syn"] = c.NETWORK.WEIGHT_ROOT_SYN * (
+                    3.0 * _mse(syn_all, tgt_all)
                 )
-                syn3, tgt3 = self.root_net.train_synth(
-                    branch3.cam, branch3.trans, branch3.orig_wh, hm_wh,
-                    hflip=branch3.hflip, train=train,
-                )
-                loss_root_syn = _mse(syn1, tgt1) + _mse(syn2, tgt2) + _mse(syn3, tgt3)
-                losses["loss_root_syn"] = c.NETWORK.WEIGHT_ROOT_SYN * loss_root_syn
                 if c.NETWORK.ROOT_CONSISTENCY_LOSS:
                     main3_sg = jax.lax.stop_gradient(main3)
+                    tiled3 = jnp.concatenate([main3_sg, main3_sg], axis=0)
                     losses["loss_root_reg"] = c.NETWORK.WEIGHT_ROOT_REG * (
-                        _mse(main1, main3_sg) + _mse(main2, main3_sg)
+                        2.0 * _mse(main12, tiled3)
                     )
             else:
                 # supervised 3D-cube loss variant (ref: :331-335)
-                losses["loss_root_reg"] = _mse(main1, branch1.target_3d) + _mse(
-                    main2, branch2.target_3d
+                tgt12 = jnp.concatenate(
+                    [branch1.target_3d, branch2.target_3d], axis=0
                 )
+                losses["loss_root_reg"] = 2.0 * _mse(main12, tgt12)
 
         if c.NETWORK.TRAIN_ONLY_ROOTNET:
             return None, heatmaps3, grid_centers, losses
 
         # ---- PoseNet + cross-augmentation projection losses (ref: :340-499)
-        B = heatmaps1.shape[0]
         K = c.MULTI_PERSON.MAX_PEOPLE_NUM
         J = c.NETWORK.NUM_JOINTS
-        zero = jnp.float32(0.0)
         pred2_out = None
 
         if train_posenet_stage:
             single = c.NETWORK.SINGLE_AUG_TRAINING_POSENET
-            pred1, valid = self.pose_net(
-                heatmaps1, branch1.cam, branch1.trans, branch1.orig_wh,
-                grid_centers, hflip=branch1.hflip, train=train,
-            )
-            if not single:
-                pred2, _ = self.pose_net(
-                    heatmaps2, branch2.cam, branch2.trans, branch2.orig_wh,
-                    grid_centers, hflip=branch2.hflip, train=train,
-                )
-
-            any_valid = (jnp.sum(valid) > 0).astype(jnp.float32)
-            hm_wh = (heatmaps1.shape[3], heatmaps1.shape[2])
-
-            def project_and_render(pred, br_to):
-                """Project (B, K, J, 3) into br_to's views and render gaussians."""
-                kps = project_points_with_trans(
-                    pred.reshape(B, 1, K * J, 3), br_to.cam, br_to.trans
-                ).reshape(B, br_to.num_views, K, J, 2)
-                hm = render_gaussian_heatmaps(
-                    kps, hm_wh, sigma=3.0, coord_scale=0.25,
-                    mask=jnp.broadcast_to(
-                        valid[:, None], (B, br_to.num_views, K)
-                    ),
-                )  # (B, V, J, H, W)
-                return kps, jnp.transpose(hm, (0, 1, 3, 4, 2))
+            hm_wh = (heatmaps_all.shape[3], heatmaps_all.shape[2])
 
             if single:
-                kps11, hm11 = project_and_render(pred1, branch1)
-                losses["loss_pose3d_ssv"] = (
-                    _mse(branch1.target_2d, hm11) * any_valid
+                pred1, valid = self.pose_net(
+                    heatmaps1, branch1.cam, branch1.trans, branch1.orig_wh,
+                    grid_centers, hflip=branch1.hflip, train=train,
                 )
+                any_valid = (jnp.sum(valid) > 0).astype(jnp.float32)
+                kps = project_points_with_trans(
+                    pred1.reshape(B, 1, K * J, 3), branch1.cam, branch1.trans
+                ).reshape(B, branch1.num_views, K, J, 2)
+                hm = render_gaussian_heatmaps(
+                    kps, hm_wh, sigma=3.0, coord_scale=0.25,
+                    mask=jnp.broadcast_to(valid[:, None], (B, branch1.num_views, K)),
+                )
+                hm11 = jnp.transpose(hm, (0, 1, 3, 4, 2))
+                losses["loss_pose3d_ssv"] = _mse(branch1.target_2d, hm11) * any_valid
                 pred2_out = jax.lax.stop_gradient(
                     jnp.concatenate(
                         [pred1, jnp.broadcast_to(
@@ -373,44 +379,69 @@ class MultiPersonPoseNetSSV(nn.Module):
                         )], axis=-1,
                     )
                 )
+                return pred2_out, heatmaps3, grid_centers, losses
+
+            # one PoseNet pass over both augmented branches (2B)
+            gc_tiled = jnp.concatenate([grid_centers, grid_centers], axis=0)
+            hm12_in = jnp.concatenate([heatmaps1, heatmaps2], axis=0)
+            pred_12, valid_12 = self.pose_net(
+                hm12_in, branches_12.cam, branches_12.trans, branches_12.orig_wh,
+                gc_tiled, hflip=branches_12.hflip, train=train,
+            )
+            pred1, pred2 = pred_12[:B], pred_12[B:]
+            valid = valid_12[:B]
+            any_valid = (jnp.sum(valid) > 0).astype(jnp.float32)
+
+            # cross-projection fold: pred2 -> branch1's frame, pred1 -> branch2's
+            # (ref: :432-437). Cameras are shared; only trans/hflip differ.
+            pred_cross = jnp.concatenate([pred2, pred1], axis=0)  # (2B, K, J, 3)
+            kps_cross = project_points_with_trans(
+                pred_cross.reshape(2 * B, 1, K * J, 3),
+                branches_12.cam, branches_12.trans,
+            ).reshape(2 * B, branch1.num_views, K, J, 2)
+            hm_cross = render_gaussian_heatmaps(
+                kps_cross, hm_wh, sigma=3.0, coord_scale=0.25,
+                mask=jnp.broadcast_to(
+                    valid_12[:, None], (2 * B, branch1.num_views, K)
+                ),
+            )
+            hm_cross = jnp.transpose(hm_cross, (0, 1, 3, 4, 2))  # (2B, V, H, W, J)
+            # rows [:B] = hm21 (pred2 in frame1), rows [B:] = hm12 (pred1 in frame2)
+
+            targets_12 = branches_12.target_2d
+            if c.WITH_ATTN:
+                # attns share the heatmap layout (ref: :469-476)
+                losses["loss_pose3d_ssv"] = (
+                    2.0 * jnp.mean(((targets_12 - hm_cross) ** 2) * attns_12)
+                ) * any_valid
+                losses["loss_attn_ssv"] = (
+                    2.0 * _mse(attns_12, jnp.ones_like(attns_12))
+                ) * c.ATTN_WEIGHT * any_valid
             else:
-                kps12, hm12 = project_and_render(pred1, branch2)
-                kps21, hm21 = project_and_render(pred2, branch1)
+                losses["loss_pose3d_ssv"] = (
+                    2.0 * _mse(targets_12, hm_cross)
+                ) * any_valid
 
-                if c.WITH_ATTN:
-                    # attns share the heatmap layout (B, V, H, W, J)
-                    l1 = jnp.mean(((branch1.target_2d - hm21) ** 2) * attns1)
-                    l2 = jnp.mean(((branch2.target_2d - hm12) ** 2) * attns2)
-                else:
-                    l1 = _mse(branch1.target_2d, hm21)
-                    l2 = _mse(branch2.target_2d, hm12)
-                losses["loss_pose3d_ssv"] = (l1 + l2) * any_valid
-
-                if c.WITH_ATTN:
-                    losses["loss_attn_ssv"] = (
-                        (_mse(attns1, jnp.ones_like(attns1))
-                         + _mse(attns2, jnp.ones_like(attns2)))
-                        * c.ATTN_WEIGHT * any_valid
+            if c.USE_L1 and use_l1_stage:
+                kps21, kps12 = kps_cross[:B], kps_cross[B:]
+                losses["loss_pose3d_l1_ssv"] = (
+                    self._l1_matching_loss(
+                        kps12, valid, branch2.joints, branch2.joints_vis
                     )
-                if c.USE_L1 and use_l1_stage:
-                    losses["loss_pose3d_l1_ssv"] = (
-                        self._l1_matching_loss(
-                            kps12, valid, branch2.joints, branch2.joints_vis
-                        )
-                        + self._l1_matching_loss(
-                            kps21, valid, branch1.joints, branch1.joints_vis
-                        )
-                    ) * c.L1_WEIGHT * any_valid
-
-                pred2_out = jax.lax.stop_gradient(
-                    jnp.concatenate(
-                        [pred2, jnp.broadcast_to(
-                            grid_centers[:, :, None, 3:], (B, K, J, 2)
-                        )], axis=-1,
+                    + self._l1_matching_loss(
+                        kps21, valid, branch1.joints, branch1.joints_vis
                     )
+                ) * c.L1_WEIGHT * any_valid
+
+            pred2_out = jax.lax.stop_gradient(
+                jnp.concatenate(
+                    [pred2, jnp.broadcast_to(
+                        grid_centers[:, :, None, 3:], (B, K, J, 2)
+                    )], axis=-1,
                 )
+            )
         else:
-            losses["loss_pose3d_ssv"] = zero
+            losses["loss_pose3d_ssv"] = jnp.float32(0.0)
 
         return pred2_out, heatmaps3, grid_centers, losses
 

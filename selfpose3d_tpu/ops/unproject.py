@@ -102,6 +102,10 @@ def sample_and_aggregate(
 ) -> jnp.ndarray:
     """Bilinear-sample per view and take the bounded mean across views.
 
+    Views are reduced with a scan-carried accumulator so the (B, V, N, J)
+    per-view sample tensor is never materialized — N is K*64^3 in the PoseNet
+    path, which at f32/B=4 would be ~3 GB of HBM otherwise.
+
     Args:
       heatmaps:    (B, V, H, W, J)
       sample_grid: (B, V, N, 2)
@@ -109,11 +113,29 @@ def sample_and_aggregate(
     Returns:
       (B, N, J) aggregated voxel features in [0, 1].
     """
-    sampled = jax.vmap(jax.vmap(grid_sample_bilinear))(heatmaps, sample_grid)
-    # (B, V, N, J)
-    wsum = jnp.sum(sampled * bounding[..., None], axis=1)  # (B, N, J)
-    denom = jnp.sum(bounding, axis=1)[..., None] + 1e-6
-    cubes = wsum / denom
+    B, V, N, _ = sample_grid.shape
+    J = heatmaps.shape[-1]
+
+    def step(acc, view):
+        wsum, bsum = acc
+        hm, grid, bound = view
+        sampled = jax.vmap(grid_sample_bilinear)(hm, grid)  # (B, N, J)
+        return (
+            wsum + sampled * bound[..., None],
+            bsum + bound,
+        ), None
+
+    views = (
+        jnp.moveaxis(heatmaps, 1, 0),
+        jnp.moveaxis(sample_grid, 1, 0),
+        jnp.moveaxis(bounding, 1, 0),
+    )
+    (wsum, bsum), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((B, N, J), heatmaps.dtype), jnp.zeros((B, N), heatmaps.dtype)),
+        views,
+    )
+    cubes = wsum / (bsum[..., None] + 1e-6)
     cubes = jnp.nan_to_num(cubes, nan=0.0)
     return jnp.clip(cubes, 0.0, 1.0)
 

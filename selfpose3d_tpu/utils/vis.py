@@ -1,0 +1,173 @@
+"""Debug visualization (ref: lib/utils/vis.py).
+
+Writes the same artifact families the reference emits every PRINT_FREQ
+batches: joint overlays on input images, per-joint heatmap grids, 3D skeleton
+plots, and root-position scatter plots. matplotlib is imported lazily with the
+Agg backend so headless training never touches a display.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+PANOPTIC_LIMBS = [
+    [0, 1], [0, 2], [0, 3], [3, 4], [4, 5], [0, 9], [9, 10], [10, 11],
+    [2, 6], [2, 12], [6, 7], [7, 8], [12, 13], [13, 14],
+]
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def save_batch_image_with_joints(
+    images: np.ndarray,
+    joints: np.ndarray,
+    joints_vis: np.ndarray,
+    file_name: str,
+    nrow: int = 4,
+):
+    """Images (N, H, W, 3) in [0,1] with per-person joints (N, P, J, 2)
+    (ref: vis.py:62-106)."""
+    import cv2
+
+    N, H, W, _ = images.shape
+    ncol = min(nrow, N)
+    rows = math.ceil(N / ncol)
+    grid = np.zeros((rows * H, ncol * W, 3), np.uint8)
+    for i in range(N):
+        img = (np.clip(images[i], 0, 1) * 255).astype(np.uint8).copy()
+        for p in range(joints.shape[1]):
+            for j in range(joints.shape[2]):
+                if joints_vis[i, p, j, 0] > 0:
+                    cv2.circle(
+                        img,
+                        (int(joints[i, p, j, 0]), int(joints[i, p, j, 1])),
+                        2, (255, 0, 0), 2,
+                    )
+        r, c = divmod(i, ncol)
+        grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = img
+    os.makedirs(os.path.dirname(file_name) or ".", exist_ok=True)
+    cv2.imwrite(file_name, grid[..., ::-1])
+
+
+def save_batch_heatmaps(
+    images: Optional[np.ndarray],
+    heatmaps: np.ndarray,
+    file_name: str,
+):
+    """Per-joint heatmap grid, one row per sample, one column per joint
+    (ref: vis.py:108-156)."""
+    import cv2
+
+    N, H, W, J = heatmaps.shape
+    grid = np.zeros((N * H, (J + 1) * W, 3), np.uint8)
+    for i in range(N):
+        if images is not None:
+            img = cv2.resize(
+                (np.clip(images[i], 0, 1) * 255).astype(np.uint8), (W, H)
+            )
+        else:
+            img = np.zeros((H, W, 3), np.uint8)
+        grid[i * H : (i + 1) * H, :W] = img
+        for j in range(J):
+            hm = np.clip(heatmaps[i, :, :, j], 0, 1)
+            colored = cv2.applyColorMap(
+                (hm * 255).astype(np.uint8), cv2.COLORMAP_JET
+            )
+            blend = (colored * 0.7 + img * 0.3).astype(np.uint8)
+            grid[i * H : (i + 1) * H, (j + 1) * W : (j + 2) * W] = blend
+    os.makedirs(os.path.dirname(file_name) or ".", exist_ok=True)
+    cv2.imwrite(file_name, grid)
+
+
+def save_3d_poses(
+    poses: np.ndarray,
+    file_name: str,
+    limbs: Sequence[Sequence[int]] = PANOPTIC_LIMBS,
+    valid_flags: Optional[np.ndarray] = None,
+):
+    """3D skeleton plot (ref: vis.py:359-428). poses (P, J, >=3) in mm."""
+    plt = _plt()
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    for p in range(poses.shape[0]):
+        if valid_flags is not None and valid_flags[p] < 0:
+            continue
+        pts = poses[p, :, :3]
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=6)
+        for a, b in limbs:
+            ax.plot(
+                [pts[a, 0], pts[b, 0]],
+                [pts[a, 1], pts[b, 1]],
+                [pts[a, 2], pts[b, 2]],
+            )
+    ax.set_xlim(-4000, 4000)
+    ax.set_ylim(-4500, 3500)
+    ax.set_zlim(0, 2000)
+    os.makedirs(os.path.dirname(file_name) or ".", exist_ok=True)
+    fig.savefig(file_name)
+    plt.close(fig)
+
+
+def save_3d_roots(roots: np.ndarray, file_name: str):
+    """Root-position scatter (ref: vis.py:430-486). roots (K, >=4)."""
+    plt = _plt()
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    valid = roots[:, 3] >= 0 if roots.shape[1] > 3 else np.ones(len(roots), bool)
+    pts = roots[valid]
+    if len(pts):
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c="r", s=30)
+    ax.set_xlim(-4000, 4000)
+    ax.set_ylim(-4500, 3500)
+    ax.set_zlim(0, 2000)
+    os.makedirs(os.path.dirname(file_name) or ".", exist_ok=True)
+    fig.savefig(file_name)
+    plt.close(fig)
+
+
+def save_debug_images(
+    cfg,
+    branch,
+    heatmaps_pred: Optional[np.ndarray],
+    pred_3d: Optional[np.ndarray],
+    grid_centers: Optional[np.ndarray],
+    prefix: str,
+):
+    """Composite debug dump per PRINT_FREQ batch (ref: vis.py:158-187,
+    function.py:176-217)."""
+    if not cfg.DEBUG.DEBUG:
+        return
+    views = branch.views
+    if views is not None:
+        views = np.asarray(views)
+        B, V = views.shape[:2]
+        flat = views.reshape(B * V, *views.shape[2:])
+        if cfg.DEBUG.SAVE_BATCH_IMAGES_GT and branch.joints is not None:
+            joints = np.asarray(branch.joints).reshape(B * V, *np.asarray(branch.joints).shape[2:])
+            vis = np.asarray(branch.joints_vis).reshape(joints.shape[:-1] + (2,))
+            save_batch_image_with_joints(
+                flat, joints, vis, f"{prefix}_gt.jpg"
+            )
+        if cfg.DEBUG.SAVE_HEATMAPS_PRED and heatmaps_pred is not None:
+            hm = np.asarray(heatmaps_pred)
+            hm = hm.reshape(-1, *hm.shape[2:])
+            save_batch_heatmaps(None, hm[: min(4, len(hm))], f"{prefix}_hm_pred.jpg")
+    if cfg.DEBUG.SAVE_3D_POSES and pred_3d is not None:
+        pred_3d = np.asarray(pred_3d)
+        save_3d_poses(
+            pred_3d[0, :, :, :3], f"{prefix}_3d_poses.png",
+            valid_flags=pred_3d[0, :, 0, 3],
+        )
+    if cfg.DEBUG.SAVE_3D_ROOTS and grid_centers is not None:
+        save_3d_roots(np.asarray(grid_centers)[0], f"{prefix}_3d_roots.png")
