@@ -1,0 +1,71 @@
+"""Offline prediction renderer (ref: tools/visualize.py).
+
+Loads a ``predictions_dump.pkl`` (written by evaluate), runs greedy 3D track
+association, and renders per-frame 3D skeleton images (+ optional ffmpeg
+video). The reference uses vedo+SMPL meshes; this renders matplotlib skeleton
+plots — same tracking and sequencing logic, dependency-light.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import subprocess
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Render 3D pose predictions")
+    p.add_argument("--dump", required=True, help="predictions_dump.pkl path")
+    p.add_argument("--out-dir", default="./vis_out")
+    p.add_argument("--sequence", default="", help="filter by sequence key")
+    p.add_argument("--score-threshold", type=float, default=0.2)
+    p.add_argument("--video", action="store_true", help="ffmpeg mp4 render")
+    p.add_argument("--fps", type=int, default=12)
+    return p.parse_args()
+
+
+def images_to_video(img_dir: str, out_file: str, fps: int = 12):
+    """(ref: tools/visualize.py:587-600)."""
+    cmd = [
+        "ffmpeg", "-y", "-framerate", str(fps),
+        "-pattern_type", "glob", "-i", os.path.join(img_dir, "*.png"),
+        "-c:v", "libx264", "-pix_fmt", "yuv420p", out_file,
+    ]
+    subprocess.run(cmd, check=False)
+
+
+def main():
+    args = parse_args()
+    from selfpose3d_tpu.eval.tracking import track_sequence
+    from selfpose3d_tpu.utils.vis import save_3d_poses
+
+    records = pickle.load(open(args.dump, "rb"))
+    if args.sequence:
+        records = [r for r in records if args.sequence in r.get("key", "")]
+
+    poses, scores = [], []
+    for r in records:
+        pred = np.asarray(r.get("preds_3d", np.zeros((0, 15, 5))))
+        if pred.ndim == 3 and pred.shape[-1] >= 4:
+            keep = pred[:, 0, 3] >= 0
+            pred = pred[keep]
+        poses.append(pred[:, :, :3])
+        scores.append(pred[:, 0, -1] if pred.shape[-1] >= 5 else np.ones(len(pred)))
+
+    orderings = track_sequence(poses, scores, args.score_threshold)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, (p, order) in enumerate(zip(poses, orderings)):
+        if len(order) == 0:
+            continue
+        save_3d_poses(p[order], os.path.join(args.out_dir, f"{i:06d}.png"))
+    if args.video:
+        images_to_video(args.out_dir, os.path.join(args.out_dir, "render.mp4"), args.fps)
+    print(f"rendered {len(poses)} frames to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

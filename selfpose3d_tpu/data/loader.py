@@ -87,6 +87,8 @@ def collate_branch(view_items_per_sample: Sequence[Sequence[dict]]) -> AugBranch
         target_3d=j(stack("target_3d", per_view=False)),
         joints=j(stack("joints")),
         joints_vis=j(stack("joints_vis")),
+        joints_3d=j(stack("joints_3d", per_view=False)),
+        joints_3d_vis=j(stack("joints_3d_vis", per_view=False)),
         roots_3d=j(stack("roots_3d", per_view=False)),
         num_person=j(
             np.array([s[0]["num_person"] for s in view_items_per_sample], np.int32)

@@ -42,6 +42,8 @@ class AugBranch:
     target_3d: Optional[jnp.ndarray] = None       # (B, X, Y, Z)
     joints: Optional[jnp.ndarray] = None          # (B, V, P, J, 2) pseudo 2D
     joints_vis: Optional[jnp.ndarray] = None      # (B, V, P, J, 2)
+    joints_3d: Optional[jnp.ndarray] = None       # (B, P, J, 3) GT (supervised)
+    joints_3d_vis: Optional[jnp.ndarray] = None   # (B, P, J, 3)
     roots_3d: Optional[jnp.ndarray] = None        # (B, P, 3)
     num_person: Optional[jnp.ndarray] = None      # (B,)
 

@@ -173,6 +173,10 @@ def make_synthetic_branch(
     joints_vis[:, :, :num_person] = 1.0
     roots_pad = np.zeros((B, P, 3), np.float32)
     roots_pad[:, :num_person] = roots
+    joints_3d = np.zeros((B, P, J, 3), np.float32)
+    joints_3d[:, :num_person] = poses
+    joints_3d_vis = np.zeros((B, P, J, 3), np.float32)
+    joints_3d_vis[:, :num_person] = 1.0
 
     views = None
     if with_images:
@@ -192,6 +196,8 @@ def make_synthetic_branch(
         target_3d=target_3d,
         joints=jnp.asarray(joints),
         joints_vis=jnp.asarray(joints_vis),
+        joints_3d=jnp.asarray(joints_3d),
+        joints_3d_vis=jnp.asarray(joints_3d_vis),
         roots_3d=jnp.asarray(roots_pad),
         num_person=jnp.full((B,), num_person, jnp.int32),
     )

@@ -556,9 +556,23 @@ class MultiPersonPoseNet(nn.Module):
             heatmaps, branch.cam, branch.trans, branch.orig_wh,
             grid_centers, train=train,
         )
-        pred = pred.at[..., 0:3].set(poses)
+        pred = pred.at[..., 0:3].set(jax.lax.stop_gradient(poses))
 
-        # weighted L1 vs matched GT poses (ref: multi_person_posenet.py:84-100)
-        if train and branch.joints is None and branch.roots_3d is not None:
-            pass  # 3D GT pose loss needs joints_3d; wired in the train step
+        # weighted L1 vs matched GT poses (ref: multi_person_posenet.py:84-100):
+        # each valid candidate's flag is its matched GT index; loss is the
+        # mean over valid (sample, candidate) pairs of the vis-weighted L1.
+        if train and branch.joints_3d is not None:
+            flag = grid_centers[..., 3]  # (B, K)
+            gt_idx = jnp.clip(flag, 0).astype(jnp.int32)  # (B, K)
+            gt = jnp.take_along_axis(
+                branch.joints_3d, gt_idx[..., None, None], axis=1
+            )  # (B, K, J, 3)
+            w = jnp.take_along_axis(
+                branch.joints_3d_vis[..., 0:1], gt_idx[..., None, None], axis=1
+            )  # (B, K, J, 1)
+            per_cand = jnp.mean(
+                jnp.abs(poses * w - gt * w), axis=(-1, -2)
+            )  # (B, K)
+            count = jnp.sum(valid)
+            losses["loss_cord"] = jnp.sum(per_cand * valid) / jnp.maximum(count, 1.0)
         return pred, heatmaps, grid_centers, losses

@@ -25,7 +25,10 @@ from selfpose3d_tpu.geometry.cameras import CameraParams
 from selfpose3d_tpu.geometry.grid import compute_grid
 from selfpose3d_tpu.models.v2v_net import V2VNet
 from selfpose3d_tpu.ops.softargmax import soft_argmax
-from selfpose3d_tpu.ops.unproject import compute_sample_grid, sample_and_aggregate
+from selfpose3d_tpu.ops.unproject import (
+    compute_sample_grid,
+    sample_and_aggregate_cmajor,
+)
 
 
 class PoseNet(nn.Module):
@@ -85,9 +88,15 @@ class PoseNet(nn.Module):
             ),
             orig_wh=orig_wh,
         )
-        feats = sample_and_aggregate(heatmaps, sample_grid, bounding)  # (B, K*N, J)
+        feats = sample_and_aggregate_cmajor(
+            heatmaps, sample_grid, bounding
+        )  # (B, J, K*N) — channel-major keeps the K*N axis in the lanes
 
-        cubes = feats.reshape(B * K, X, Y, Z, J)
+        cubes = (
+            feats.reshape(B, J, K, X, Y, Z)
+            .transpose(0, 2, 3, 4, 5, 1)
+            .reshape(B * K, X, Y, Z, J)
+        )
         # zero invalid candidates' cubes so they contribute nothing downstream
         cubes = cubes * valid.reshape(B * K, 1, 1, 1, 1)
         scored = self.v2v_net(cubes, train=train)  # (B*K, X, Y, Z, J)

@@ -9,9 +9,11 @@ Semantics reproduced exactly:
   * padding_mode='zeros': each of the 4 bilinear taps contributes 0 when its
     integer pixel lies outside the image.
 
-Implementation: 4-tap gather over the flattened (H*W) heatmap. XLA lowers this
-to a TPU dynamic-gather; the channel axis is kept minor so each gather moves a
-contiguous (J,)-vector — lane-friendly.
+Implementation: 4-tap gather over the flattened (H*W) axis in CHANNEL-MAJOR
+layout. The (C, N) tap outputs keep the huge N axis minor, which on TPU tiles
+as T(8,128) with no padding; a channel-minor (N, C) gather would pad C=15 up
+to 128 lanes — an 8.5x HBM blow-up (5 GB per tap at PoseNet sizes, observed
+on v5e).
 """
 
 from __future__ import annotations
@@ -20,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 
-def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``image`` (H, W, C) at normalized ``grid`` (N, 2) -> (N, C).
+def grid_sample_bilinear_cmajor(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``image`` (H, W, C) at normalized ``grid`` (N, 2) -> (C, N).
 
     grid[..., 0] is x in [-1, 1] over W; grid[..., 1] is y over H
     (torch grid_sample convention, align_corners=True, zero padding).
@@ -40,18 +42,22 @@ def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     x1i = x0i + 1
     y1i = y0i + 1
 
-    flat = image.reshape(H * W, C)
+    flat = image.transpose(2, 0, 1).reshape(C, H * W)  # channel-major
 
     def tap(yi, xi, w):
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        vals = jnp.take(flat, idx, axis=0)  # (N, C)
-        return vals * (w * valid.astype(image.dtype))[..., None]
+        vals = jnp.take(flat, idx, axis=1)  # (C, N), N stays minor
+        return vals * (w * valid.astype(image.dtype))[None, :]
 
-    out = (
+    return (
         tap(y0i, x0i, (1 - wx) * (1 - wy))
         + tap(y0i, x1i, wx * (1 - wy))
         + tap(y1i, x0i, (1 - wx) * wy)
         + tap(y1i, x1i, wx * wy)
     )
-    return out
+
+
+def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Channel-minor convenience wrapper: (H, W, C), (N, 2) -> (N, C)."""
+    return grid_sample_bilinear_cmajor(image, grid).T

@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from selfpose3d_tpu.geometry.cameras import CameraParams, project_points
-from selfpose3d_tpu.ops.sampling import grid_sample_bilinear
+from selfpose3d_tpu.ops.sampling import (
+    grid_sample_bilinear,
+    grid_sample_bilinear_cmajor,
+)
 
 
 def compute_sample_grid(
@@ -95,23 +98,26 @@ def compute_sample_grid(
     return sample_grid, bounding
 
 
-def sample_and_aggregate(
+def sample_and_aggregate_cmajor(
     heatmaps: jnp.ndarray,
     sample_grid: jnp.ndarray,
     bounding: jnp.ndarray,
 ) -> jnp.ndarray:
     """Bilinear-sample per view and take the bounded mean across views.
 
-    Views are reduced with a scan-carried accumulator so the (B, V, N, J)
-    per-view sample tensor is never materialized — N is K*64^3 in the PoseNet
-    path, which at f32/B=4 would be ~3 GB of HBM otherwise.
+    Two memory-shape decisions (both matter at PoseNet sizes, N = K*64^3):
+      * views are reduced with a scan-carried accumulator so the
+        (B, V, N, J) per-view tensor never exists (~3 GB at f32/B=4);
+      * everything is channel-major (B, J, N) so the huge N axis stays in
+        the TPU lane dimension — J-minor layouts pad J=15 to 128 lanes
+        (8.5x HBM expansion, OOM on 16G v5e).
 
     Args:
       heatmaps:    (B, V, H, W, J)
       sample_grid: (B, V, N, 2)
       bounding:    (B, V, N)
     Returns:
-      (B, N, J) aggregated voxel features in [0, 1].
+      (B, J, N) aggregated voxel features in [0, 1].
     """
     B, V, N, _ = sample_grid.shape
     J = heatmaps.shape[-1]
@@ -119,9 +125,9 @@ def sample_and_aggregate(
     def step(acc, view):
         wsum, bsum = acc
         hm, grid, bound = view
-        sampled = jax.vmap(grid_sample_bilinear)(hm, grid)  # (B, N, J)
+        sampled = jax.vmap(grid_sample_bilinear_cmajor)(hm, grid)  # (B, J, N)
         return (
-            wsum + sampled * bound[..., None],
+            wsum + sampled * bound[:, None, :],
             bsum + bound,
         ), None
 
@@ -132,12 +138,23 @@ def sample_and_aggregate(
     )
     (wsum, bsum), _ = jax.lax.scan(
         step,
-        (jnp.zeros((B, N, J), heatmaps.dtype), jnp.zeros((B, N), heatmaps.dtype)),
+        (jnp.zeros((B, J, N), heatmaps.dtype), jnp.zeros((B, N), heatmaps.dtype)),
         views,
     )
-    cubes = wsum / (bsum[..., None] + 1e-6)
+    cubes = wsum / (bsum[:, None, :] + 1e-6)
     cubes = jnp.nan_to_num(cubes, nan=0.0)
     return jnp.clip(cubes, 0.0, 1.0)
+
+
+def sample_and_aggregate(
+    heatmaps: jnp.ndarray,
+    sample_grid: jnp.ndarray,
+    bounding: jnp.ndarray,
+) -> jnp.ndarray:
+    """Channel-minor wrapper -> (B, N, J)."""
+    return jnp.swapaxes(
+        sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding), 1, 2
+    )
 
 
 def unproject_heatmaps(
@@ -176,6 +193,6 @@ def unproject_heatmaps(
     sample_grid, bounding = compute_sample_grid(
         grid_bv, cam, trans, image_wh, heatmap_wh, hflip=flip, orig_wh=orig_wh
     )
-    cubes = sample_and_aggregate(heatmaps, sample_grid, bounding)  # (B, N, J)
+    cubes = sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding)  # (B, J, N)
     X, Y, Z = (int(s) for s in cube_size)
-    return cubes.reshape(B, X, Y, Z, J)
+    return cubes.reshape(B, J, X, Y, Z).transpose(0, 2, 3, 4, 1)
