@@ -25,6 +25,11 @@ ITERS = 10
 def main():
     import jax
 
+    # persistent compile cache: full-model XLA compiles through the axon
+    # remote-compile tunnel take ~25 min; cached reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sp3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from __graft_entry__ import _flagship_cfg
     from selfpose3d_tpu.data.synthetic import make_synthetic_branch
     from selfpose3d_tpu.models import get_model

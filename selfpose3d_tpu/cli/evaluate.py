@@ -29,11 +29,15 @@ def parse_args():
                    help="orbax checkpoint epoch to load (default: best/latest)")
     p.add_argument("--with-ssv", action="store_true")
     p.add_argument("--no-images", action="store_true")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a jax platform (e.g. cpu)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg = load_config(args.cfg)
     logger, output_dir, _ = create_logger(cfg, args.cfg, "eval")
     logger.info("devices: %s", jax.devices())

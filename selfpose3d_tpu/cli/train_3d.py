@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--cfg", required=True, type=str)
     p.add_argument("--no-images", action="store_true",
                    help="drive the pipeline from input heatmaps only")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a jax platform (e.g. cpu); the container's "
+                        "sitecustomize pins the axon TPU backend otherwise")
     return p.parse_args()
 
 
@@ -37,15 +40,17 @@ def init_variables(cfg, model):
     rngs = {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)}
     if cfg.MODEL == "multi_person_posenet_ssv":
         return model.init(
-            branch, branch, branch,
+            rngs, branch, branch, branch,
             train_posenet_stage=True, use_l1_stage=bool(cfg.USE_L1), train=True,
-            method="ssv_losses", rngs=rngs,
+            method="ssv_losses",
         )
     return model.init(rngs, branch, train=True)
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg = load_config(args.cfg)
     logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
     logger.info("devices: %s", jax.devices())

@@ -40,6 +40,9 @@ class PanopticSSVDataset(PanopticDataset):
     """SSV train dataset over pseudo-label pickles
     (ref: lib/dataset/panoptic_ssv.py:82-280)."""
 
+    #: original camera image size; overridden by Shelf/Campus variants
+    orig_wh = (1920, 1080)
+
     def __init__(self, cfg: Config, image_set: str = "train", is_train: bool = True):
         super().__init__(cfg, image_set, is_train)
         self.min_views_check = cfg.MIN_VIEWS_CHECK
@@ -97,7 +100,7 @@ class PanopticSSVDataset(PanopticDataset):
         items = []
         for cam_slot in self.cameras_sel:
             rec = copy.deepcopy(self.get_view_record(frame_idx, cam_slot))
-            width, height = 1920, 1080
+            width, height = self.orig_wh
             c = np.array([width / 2.0, height / 2.0])
             s = get_scale((width, height), (img_w, img_h)) * scale_aug
             trans = get_affine_transform(c, s, rot, (img_w, img_h))
@@ -176,7 +179,7 @@ class PanopticSSVDataset(PanopticDataset):
                     "target_3d": target_3d,
                     "trans": trans3.astype(np.float32),
                     "orig_wh": np.array([width, height], np.float32),
-                    "camera": rec["camera"],
+                    "camera": self.get_camera(rec, cam_slot),
                     "joints": joints_u,
                     "joints_vis": joints_vis_u,
                     "roots_3d": roots_u,
@@ -198,7 +201,7 @@ class PanopticSSVDataset(PanopticDataset):
             rot2, s2, f2 = self._aug_params(rs, self.rot2, self.scale2)
 
             img_w, img_h = self.cfg.NETWORK.IMAGE_SIZE
-            width, height = 1920, 1080
+            width, height = self.orig_wh
             c = np.array([width / 2.0, height / 2.0])
             recs = [
                 self.get_view_record(idx, cs) for cs in self.cameras_sel
@@ -224,3 +227,62 @@ class PanopticSSVDataset(PanopticDataset):
         """Pose-only AP protocol for the SSV train split
         (ref: panoptic_ssv.py:282-335)."""
         return super().evaluate(preds, roots, output_dir)
+
+
+    def get_camera(self, rec: dict, cam_slot: int) -> dict:
+        return rec["camera"]
+
+
+class ShelfCampusSSVDataset(PanopticSSVDataset):
+    """SSL training datasets for Shelf/Campus over mmpose 2D-prediction
+    pickles (ref: lib/dataset/shelf_ssv.py, campus_ssv.py — near-copies of
+    JointsDatasetSSV over a different DB; here one subclass)."""
+
+    def __init__(self, cfg: Config, name: str, image_set: str = "train",
+                 is_train: bool = True):
+        # bypass PanopticDataset.__init__: different DB + calibration source
+        self.cfg = cfg
+        self.name = name
+        self.image_set = image_set
+        self.is_train = is_train
+        self.root_id = cfg.DATASET.ROOTIDX
+        self.num_joints = cfg.NETWORK.NUM_JOINTS
+        self.max_people = cfg.MULTI_PERSON.MAX_PEOPLE_NUM
+        self.dataset_root = osp.join(cfg.DATA_DIR, cfg.DATASET.ROOT)
+        self.camera_num_total = cfg.DATASET.CAMERA_NUM_TOTAL
+        self.cameras_sel = list(cfg.DATASET.CAMERAS)[: cfg.DATASET.CAMERA_NUM]
+        self.orig_wh = tuple(int(x) for x in cfg.NETWORK.IMAGE_SIZE_ORIG)
+
+        db_file = osp.join(self.dataset_root, f"{name}_mmpose.pkl")
+        info = pickle.load(open(db_file, "rb"))
+        self.db = info["db"]
+        self.db_size = len(self.db)
+
+        import json as _json
+
+        with open(osp.join(self.dataset_root, f"calibration_{name}.json")) as f:
+            calib = _json.load(f)
+        self._cams = {
+            cid: {k: np.asarray(v) for k, v in cam.items()}
+            for cid, cam in calib.items()
+        }
+        self._cam_ids = sorted(self._cams)
+
+        self.min_views_check = cfg.MIN_VIEWS_CHECK
+        self.rot1 = cfg.DATASET.ROT_FACTOR1
+        self.rot2 = cfg.DATASET.ROT_FACTOR2
+        self.scale1 = cfg.DATASET.SCALE_FACTOR1
+        self.scale2 = cfg.DATASET.SCALE_FACTOR2
+        self.flip = cfg.DATASET.FLIP
+        self.apply_randaug = cfg.DATASET.APPLY_RANDAUG
+        self.apply_cutout = cfg.DATASET.APPLY_CUTOUT
+        self._randaug = None
+        if self.apply_randaug or self.apply_cutout:
+            from selfpose3d_tpu.data.randaugment import RandAugmentCutout
+
+            self._randaug = RandAugmentCutout(
+                use_randaug=self.apply_randaug, use_cutout=self.apply_cutout
+            )
+
+    def get_camera(self, rec: dict, cam_slot: int) -> dict:
+        return self._cams[self._cam_ids[cam_slot]]

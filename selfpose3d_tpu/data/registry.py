@@ -19,6 +19,10 @@ def get_dataset(cfg: Config, name: str, image_set: str, is_train: bool):
         from selfpose3d_tpu.data.shelf_campus import ShelfCampusDataset
 
         return ShelfCampusDataset(cfg, name, image_set, is_train)
+    if name in ("shelf_ssv", "campus_ssv"):
+        from selfpose3d_tpu.data.panoptic_ssv import ShelfCampusSSVDataset
+
+        return ShelfCampusSSVDataset(cfg, name.split("_")[0], image_set, is_train)
     if name in ("shelf_synthetic", "campus_synthetic"):
         from selfpose3d_tpu.data.shelf_campus import SyntheticPoseDataset
 

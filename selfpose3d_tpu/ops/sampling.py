@@ -9,53 +9,90 @@ Semantics reproduced exactly:
   * padding_mode='zeros': each of the 4 bilinear taps contributes 0 when its
     integer pixel lies outside the image.
 
-Implementation: 4-tap gather over the flattened (H*W) axis in CHANNEL-MAJOR
-layout. The (C, N) tap outputs keep the huge N axis minor, which on TPU tiles
-as T(8,128) with no padding; a channel-minor (N, C) gather would pad C=15 up
-to 128 lanes — an 8.5x HBM blow-up (5 GB per tap at PoseNet sizes, observed
-on v5e).
+Implementation notes (TPU memory layout):
+  XLA's TPU gather materializes its output with the gathered slice as the
+  minor dimension — a (N, C=15) gather pads 15 up to 128 lanes, an 8.5x HBM
+  blow-up (4 x 5 GB temp buffers at PoseNet sizes; OOMs a 16G v5e). Every
+  axis ordering of a multi-channel gather hits this. The fix is to emit pure
+  1-D gathers: tap indices/weights are computed once (channel-independent),
+  then a lax.scan over channels does 4 flat takes per channel — 0.05 GB temp
+  at the same shapes, measured via AOT memory_analysis on v5e.
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-def grid_sample_bilinear_cmajor(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``image`` (H, W, C) at normalized ``grid`` (N, 2) -> (C, N).
+def bilinear_taps(
+    grid: jnp.ndarray, H: int, W: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tap indices/weights for normalized sample points.
 
-    grid[..., 0] is x in [-1, 1] over W; grid[..., 1] is y over H
-    (torch grid_sample convention, align_corners=True, zero padding).
+    Args:
+      grid: (..., N, 2) normalized coords (x over W, y over H), align_corners.
+    Returns:
+      idx: (..., 4, N) int32 flat indices into H*W (clipped).
+      w:   (..., 4, N) tap weights, zeroed for out-of-image taps.
     """
-    H, W, C = image.shape
     x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
     y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-
+    wx = (x - x0).astype(dtype)
+    wy = (y - y0).astype(dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
 
-    flat = image.transpose(2, 0, 1).reshape(C, H * W)  # channel-major
-
-    def tap(yi, xi, w):
+    idxs, ws = [], []
+    for dy, dx, wgt in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (0, 1, wx * (1 - wy)),
+        (1, 0, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        yi = y0i + dy
+        xi = x0i + dx
         valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        vals = jnp.take(flat, idx, axis=1)  # (C, N), N stays minor
-        return vals * (w * valid.astype(image.dtype))[None, :]
+        idxs.append(jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
+        ws.append(wgt * valid.astype(dtype))
+    return jnp.stack(idxs, axis=-2), jnp.stack(ws, axis=-2)
 
-    return (
-        tap(y0i, x0i, (1 - wx) * (1 - wy))
-        + tap(y0i, x1i, wx * (1 - wy))
-        + tap(y1i, x0i, (1 - wx) * wy)
-        + tap(y1i, x1i, wx * wy)
-    )
+
+def gather_taps_cmajor(flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Apply 4-tap weighted gathers channel-by-channel.
+
+    Args:
+      flat: (C, H*W) channel-major image.
+      idx:  (4, N) int32 tap indices.
+      w:    (4, N) tap weights.
+    Returns:
+      (C, N) sampled values.
+    """
+
+    def step(_, fc):  # fc: (H*W,)
+        vals = (
+            jnp.take(fc, idx[0]) * w[0]
+            + jnp.take(fc, idx[1]) * w[1]
+            + jnp.take(fc, idx[2]) * w[2]
+            + jnp.take(fc, idx[3]) * w[3]
+        )
+        return None, vals
+
+    _, out = jax.lax.scan(step, None, flat)
+    return out
+
+
+def grid_sample_bilinear_cmajor(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``image`` (H, W, C) at normalized ``grid`` (N, 2) -> (C, N)."""
+    H, W, C = image.shape
+    idx, w = bilinear_taps(grid, H, W, dtype=image.dtype)
+    flat = image.transpose(2, 0, 1).reshape(C, H * W)
+    return gather_taps_cmajor(flat, idx, w)
 
 
 def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:

@@ -18,9 +18,24 @@ import jax.numpy as jnp
 from selfpose3d_tpu.data.structures import AugBranch
 from selfpose3d_tpu.train.train_state import TrainState
 
+_STEP_CACHE: dict = {}
+
 
 def make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
-    """Build the jitted SSV train step for the current epoch stage gates."""
+    """Build the jitted SSV train step for the current epoch stage gates.
+
+    Cached per (model, gates): rebuilding a jit wrapper every epoch would
+    recompile an identical graph at each stage boundary crossing and back.
+    """
+    key = (id(model), "ssv", train_posenet_stage, use_l1_stage)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+    step = _make_ssv_train_step(model, train_posenet_stage, use_l1_stage)
+    _STEP_CACHE[key] = step
+    return step
+
+
+def _make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
 
     @jax.jit
     def train_step(
@@ -61,6 +76,15 @@ def make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
 
 def make_supervised_train_step(model):
     """Train step for the VoxelPose baseline (ref: function.py:219-350)."""
+    key = (id(model), "supervised")
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+    step = _make_supervised_train_step(model)
+    _STEP_CACHE[key] = step
+    return step
+
+
+def _make_supervised_train_step(model):
 
     @jax.jit
     def train_step(state: TrainState, branch: AugBranch):
@@ -87,6 +111,15 @@ def make_supervised_train_step(model):
 
 def make_inference_step(model):
     """Jitted inference (ref: multi_person_posenet_ssv.py:105-153)."""
+    key = (id(model), "infer")
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+    step = _make_inference_step(model)
+    _STEP_CACHE[key] = step
+    return step
+
+
+def _make_inference_step(model):
 
     @jax.jit
     def infer(params, batch_stats, branch: AugBranch):

@@ -25,14 +25,18 @@ def create_logger(cfg: Config, cfg_name: str, phase: str = "train") -> Tuple[log
     time_str = time.strftime("%Y-%m-%d-%H-%M")
     log_file = f"{cfg_name}_{time_str}_{phase}.log"
     final_log_file = final_output_dir / log_file
-    logging.basicConfig(
-        filename=str(final_log_file),
-        format="%(asctime)-15s %(message)s",
-        level=logging.INFO,
-    )
+    # explicit handlers: absl/jax may already have configured the root
+    # logger, which turns logging.basicConfig into a silent no-op
     logger = logging.getLogger()
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)-15s %(message)s")
+    fh = logging.FileHandler(str(final_log_file))
+    fh.setFormatter(fmt)
+    fh.setLevel(logging.INFO)
+    logger.addHandler(fh)
     console = logging.StreamHandler()
     console.setLevel(logging.INFO)
+    console.setFormatter(fmt)
     logger.addHandler(console)
 
     tb_log_dir = (
