@@ -63,35 +63,53 @@ def bilinear_taps(
     return jnp.stack(idxs, axis=-2), jnp.stack(ws, axis=-2)
 
 
-def gather_taps_cmajor(flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Apply 4-tap weighted gathers channel-by-channel.
+def gather_taps_cmajor(
+    flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray, chunk: int = 65536
+) -> jnp.ndarray:
+    """Apply 4-tap weighted gathers -> (C, N) samples.
+
+    TPU gathers run a scalar index loop at ~0.1 G rows/s regardless of row
+    width (measured on v5e), so the row count is the cost: one multi-channel
+    gather per tap (4N rows total) beats per-channel 1-D gathers (4NC rows)
+    by ~C x. The padded (rows, C->128 lanes) tap outputs are kept to
+    ``chunk`` rows at a time via lax.map, bounding the 8.5x tile-padding
+    blow-up to ~chunk*512B per tap instead of gigabytes.
 
     Args:
-      flat: (C, H*W) channel-major image.
+      flat: (H*W, C) row-major image table.
       idx:  (4, N) int32 tap indices.
       w:    (4, N) tap weights.
     Returns:
       (C, N) sampled values.
     """
+    C = flat.shape[-1]
+    N = idx.shape[-1]
+    if N % chunk != 0:
+        chunk = N  # fall back to one chunk for odd sizes (small call sites)
+    n_chunks = N // chunk
 
-    def step(_, fc):  # fc: (H*W,)
+    idx_c = jnp.moveaxis(idx.reshape(4, n_chunks, chunk), 1, 0)
+    w_c = jnp.moveaxis(w.reshape(4, n_chunks, chunk), 1, 0)
+
+    def one_chunk(args):
+        i, wt = args  # (4, chunk)
         vals = (
-            jnp.take(fc, idx[0]) * w[0]
-            + jnp.take(fc, idx[1]) * w[1]
-            + jnp.take(fc, idx[2]) * w[2]
-            + jnp.take(fc, idx[3]) * w[3]
-        )
-        return None, vals
+            jnp.take(flat, i[0], axis=0) * wt[0][:, None]
+            + jnp.take(flat, i[1], axis=0) * wt[1][:, None]
+            + jnp.take(flat, i[2], axis=0) * wt[2][:, None]
+            + jnp.take(flat, i[3], axis=0) * wt[3][:, None]
+        )  # (chunk, C)
+        return vals.T  # store channel-major
 
-    _, out = jax.lax.scan(step, None, flat)
-    return out
+    out = jax.lax.map(one_chunk, (idx_c, w_c))  # (n_chunks, C, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(C, N)
 
 
 def grid_sample_bilinear_cmajor(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Sample ``image`` (H, W, C) at normalized ``grid`` (N, 2) -> (C, N)."""
     H, W, C = image.shape
     idx, w = bilinear_taps(grid, H, W, dtype=image.dtype)
-    flat = image.transpose(2, 0, 1).reshape(C, H * W)
+    flat = image.reshape(H * W, C)
     return gather_taps_cmajor(flat, idx, w)
 
 
