@@ -92,7 +92,7 @@ def main():
         if with_ssv:
             state = train_epoch_ssv(
                 cfg, model, state, train_ds, epoch, mesh=mesh, writer=writer,
-                load_images=not args.no_images,
+                load_images=not args.no_images, output_dir=output_dir,
             )
         else:
             state = train_epoch_supervised(

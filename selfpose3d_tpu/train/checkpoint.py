@@ -40,9 +40,9 @@ def save_checkpoint(
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "meta": {
-            "epoch": np.int32(epoch),
+            "epoch": np.asarray(epoch, np.int32),
             "step": np.asarray(state.step),
-            "precision": np.float32(precision),
+            "precision": np.asarray(precision, np.float32),
         },
     }
     mngr.save(epoch, args=ocp.args.StandardSave(payload))
@@ -75,9 +75,9 @@ def load_checkpoint(output_dir: str, state, epoch: Optional[int] = None):
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "meta": {
-            "epoch": np.int32(0),
+            "epoch": np.asarray(0, np.int32),
             "step": np.asarray(state.step),
-            "precision": np.float32(0.0),
+            "precision": np.asarray(0.0, np.float32),
         },
     }
     restored = mngr.restore(epoch, args=ocp.args.StandardRestore(template))

@@ -38,6 +38,7 @@ def train_epoch_ssv(
     rng: Optional[jax.Array] = None,
     writer=None,
     load_images: bool = True,
+    output_dir: str = "",
 ) -> TrainState:
     """One SSV training epoch (ref: function.py:27-217)."""
     meters: Dict[str, AverageMeter] = {}
@@ -95,6 +96,11 @@ def train_epoch_ssv(
                 step = int(state.step)
                 for k, m in meters.items():
                     writer.add_scalar(f"train/{k}", m.val, step)
+            if cfg.DEBUG.DEBUG and output_dir:
+                from selfpose3d_tpu.utils.vis import save_debug_images
+
+                prefix = f"{output_dir}/debug/train_{epoch}_{i}"
+                save_debug_images(cfg, b3, None, None, None, prefix)
         end = time.time()
     return state
 
@@ -177,6 +183,14 @@ def validate_3d(
     metrics = dataset.evaluate(all_preds, all_roots, output_dir)
     aps = metrics.get("aps")
     if aps is None:
+        if "avg_pcp" in metrics:  # shelf/campus PCP protocol (ref: :477-487)
+            logger.info(
+                "actor PCP: %s | avg PCP: %.4f | recall@500: %.4f",
+                np.round(metrics["actor_pcp"], 4).tolist(),
+                metrics["avg_pcp"],
+                metrics["recall500"],
+            )
+            return float(metrics["avg_pcp"])
         return None
     msg = (
         "AP@25..150: " + " ".join(f"{a*100:.2f}" for a in metrics["aps"])

@@ -37,7 +37,7 @@ def make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
 
 def _make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
         state: TrainState,
         b1: AugBranch,
@@ -86,7 +86,7 @@ def make_supervised_train_step(model):
 
 def _make_supervised_train_step(model):
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, branch: AugBranch):
         def loss_fn(params):
             (pred, hm, gc, losses), mut = model.apply(
