@@ -53,13 +53,14 @@ class TestSupervised:
             {"params": jax.random.PRNGKey(0)}, branch, train=True
         )
         state = create_train_state(cfg, variables)
+        params_before = jax.tree.map(jnp.copy, state.params)  # state is donated
         step = make_supervised_train_step(model)
         new_state, metrics = step(state, branch)
         for k in ("loss_2d", "loss_3d", "loss_cord", "loss"):
             assert k in metrics and np.isfinite(float(metrics[k])), k
         assert int(new_state.step) == 1
         # parameters actually moved
-        d = jax.tree.map(lambda a, b: jnp.abs(a - b).max(), state.params, new_state.params)
+        d = jax.tree.map(lambda a, b: jnp.abs(a - b).max(), params_before, new_state.params)
         assert max(float(x) for x in jax.tree.leaves(d)) > 0
 
     def test_freeze_labels(self):
@@ -74,17 +75,18 @@ class TestSupervised:
         assert all(v == "train" for v in jax.tree.leaves(labels["pose_net"]))
 
         state = create_train_state(cfg, variables)
+        params_before = jax.tree.map(jnp.copy, state.params)  # state is donated
         step = make_supervised_train_step(model)
         new_state, _ = step(state, branch)
         # frozen backbone unchanged, pose_net moved
         db = jax.tree.map(
             lambda a, b: jnp.abs(a - b).max(),
-            state.params["backbone"], new_state.params["backbone"],
+            params_before["backbone"], new_state.params["backbone"],
         )
         assert max(float(x) for x in jax.tree.leaves(db)) == 0.0
         dp = jax.tree.map(
             lambda a, b: jnp.abs(a - b).max(),
-            state.params["pose_net"], new_state.params["pose_net"],
+            params_before["pose_net"], new_state.params["pose_net"],
         )
         assert max(float(x) for x in jax.tree.leaves(dp)) > 0
 
