@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--epoch", type=int, default=None,
                    help="orbax checkpoint epoch to load (default: best/latest)")
     p.add_argument("--with-ssv", action="store_true")
+    p.add_argument("--vis-attn", action="store_true",
+                   help="dump supervision-attention heatmap grids per batch")
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--platform", type=str, default="",
                    help="force a jax platform (e.g. cpu)")
@@ -63,6 +65,25 @@ def main():
         logger.info("loaded epoch %s (precision %.4f)", loaded_epoch, prec)
 
     test_ds = get_dataset(cfg, cfg.DATASET.TEST_DATASET, cfg.DATASET.TEST_SUBSET, False)
+
+    if args.vis_attn and cfg.WITH_ATTN:
+        # attention visualization pass (ref: tools/evaluate.py:110-118)
+        from selfpose3d_tpu.data.loader import collate_branch
+        from selfpose3d_tpu.utils.vis import save_batch_heatmaps
+
+        frames = [test_ds.get_frame(i, load_images=not args.no_images)
+                  for i in range(min(4, len(test_ds)))]
+        branch = collate_branch([f["views"] for f in frames])
+        _, _, _, attns = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            branch, True, method="do_inference",
+        )
+        a = np.asarray(attns)
+        save_batch_heatmaps(
+            None, a.reshape(-1, *a.shape[2:])[:4], f"{output_dir}/attn_vis.jpg"
+        )
+        logger.info("wrote attention grids to %s/attn_vis.jpg", output_dir)
+
     precision = validate_3d(
         cfg, model, state, test_ds, output_dir, load_images=not args.no_images
     )
