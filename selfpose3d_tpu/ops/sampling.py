@@ -9,14 +9,16 @@ Semantics reproduced exactly:
   * padding_mode='zeros': each of the 4 bilinear taps contributes 0 when its
     integer pixel lies outside the image.
 
-Implementation notes (TPU memory layout):
-  XLA's TPU gather materializes its output with the gathered slice as the
-  minor dimension — a (N, C=15) gather pads 15 up to 128 lanes, an 8.5x HBM
-  blow-up (4 x 5 GB temp buffers at PoseNet sizes; OOMs a 16G v5e). Every
-  axis ordering of a multi-channel gather hits this. The fix is to emit pure
-  1-D gathers: tap indices/weights are computed once (channel-independent),
-  then a lax.scan over channels does 4 flat takes per channel — 0.05 GB temp
-  at the same shapes, measured via AOT memory_analysis on v5e.
+Implementation notes (measured on v5e):
+  * XLA's TPU gather runs a scalar index loop at ~0.1 G rows/s regardless of
+    row width — row COUNT is the cost. One multi-channel gather per tap (4N
+    rows) beats per-channel 1-D gathers (4NC rows) by ~C x (34 s -> 1.7 s
+    for PoseNet sampling).
+  * Gather outputs are tiled with the gathered slice minor: (rows, C=15)
+    pads 15 -> 128 lanes, an 8.5x HBM blow-up (4 x 5 GB temps; OOMs a 16G
+    chip). Chunking the rows through lax.map bounds the padded temps to
+    ~chunk x 512 B per tap; chunk size does not affect speed (swept
+    32k..256k: flat ~338 ms/view at B=4).
 """
 
 from __future__ import annotations
@@ -64,7 +66,7 @@ def bilinear_taps(
 
 
 def gather_taps_cmajor(
-    flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray, chunk: int = 65536
+    flat: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray, chunk: int = 32768
 ) -> jnp.ndarray:
     """Apply 4-tap weighted gathers -> (C, N) samples.
 
