@@ -56,6 +56,10 @@ class NetworkConfig:
         (1500.0, -1500.0),
         (250.0, -300.0),
     )
+    # voxel sampling implementation: 'gather' = exact reference bilinear;
+    # 'slicewarp' = ~5x faster Pallas warp kernel (~4e-4 approximation,
+    # see ops/slicewarp.py); falls back to gather when shapes unsupported
+    SAMPLING: str = "gather"
 
 
 @dataclass

@@ -74,6 +74,7 @@ class MultiPersonPoseNetSSV(nn.Module):
                 threshold=c.MULTI_PERSON.THRESHOLD,
                 syn_range=tuple(c.NETWORK.ROOTNET_SYN_RANGE),
                 hm_sigma=float(c.NETWORK.SIGMA),
+                sampling=c.NETWORK.SAMPLING,
                 dtype=self.dtype,
             )
         if not c.NETWORK.TRAIN_ONLY_2D and not c.NETWORK.TRAIN_ONLY_ROOTNET:
@@ -83,6 +84,7 @@ class MultiPersonPoseNetSSV(nn.Module):
                 image_wh=tuple(c.NETWORK.IMAGE_SIZE),
                 num_joints=c.NETWORK.NUM_JOINTS,
                 beta=c.NETWORK.BETA,
+                sampling=c.NETWORK.SAMPLING,
                 dtype=self.dtype,
             )
 
@@ -476,6 +478,7 @@ class MultiPersonPoseNet(nn.Module):
                 image_wh=tuple(c.NETWORK.IMAGE_SIZE),
                 max_people=c.MULTI_PERSON.MAX_PEOPLE_NUM,
                 threshold=c.MULTI_PERSON.THRESHOLD,
+                sampling=c.NETWORK.SAMPLING,
                 dtype=self.dtype,
             )
         if not c.NETWORK.TRAIN_ONLY_2D:
@@ -485,6 +488,7 @@ class MultiPersonPoseNet(nn.Module):
                 image_wh=tuple(c.NETWORK.IMAGE_SIZE),
                 num_joints=c.NETWORK.NUM_JOINTS,
                 beta=c.NETWORK.BETA,
+                sampling=c.NETWORK.SAMPLING,
                 dtype=self.dtype,
             )
 

@@ -28,6 +28,8 @@ from selfpose3d_tpu.ops.softargmax import soft_argmax
 from selfpose3d_tpu.ops.unproject import (
     compute_sample_grid,
     sample_and_aggregate_cmajor,
+    sample_and_aggregate_slicewarp,
+    slicewarp_supported,
 )
 
 
@@ -37,6 +39,7 @@ class PoseNet(nn.Module):
     image_wh: Tuple[int, int] = (960, 512)
     num_joints: int = 15
     beta: float = 100.0
+    sampling: str = "gather"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -88,9 +91,14 @@ class PoseNet(nn.Module):
             ),
             orig_wh=orig_wh,
         )
-        feats = sample_and_aggregate_cmajor(
-            heatmaps, sample_grid, bounding
-        )  # (B, J, K*N) — channel-major keeps the K*N axis in the lanes
+        if self.sampling == "slicewarp" and slicewarp_supported(heatmaps, self.cube_size):
+            feats = sample_and_aggregate_slicewarp(
+                heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K
+            )  # (B, J, K*N)
+        else:
+            feats = sample_and_aggregate_cmajor(
+                heatmaps, sample_grid, bounding
+            )  # (B, J, K*N) — channel-major keeps the K*N axis in the lanes
 
         cubes = (
             feats.reshape(B, J, K, X, Y, Z)

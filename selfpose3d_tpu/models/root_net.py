@@ -45,6 +45,7 @@ class RootNet(nn.Module):
     syn_sigma: float = 200.0
     syn_range: Tuple = ((2500.0, -2000.0), (1500.0, -1500.0), (250.0, -300.0))
     hm_sigma: float = 3.0
+    sampling: str = "gather"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -58,7 +59,7 @@ class RootNet(nn.Module):
         grid = jnp.broadcast_to(grid[None], (B,) + grid.shape)
         return unproject_heatmaps(
             heatmaps, grid, cam, trans, self.image_wh, orig_wh,
-            self.cube_size, hflip=hflip,
+            self.cube_size, hflip=hflip, sampling=self.sampling,
         )
 
     def __call__(

@@ -140,14 +140,20 @@ def _slice_warp_kernel(hm_ref, xs_ref, ys_ref, out_ref, *, H, W, X, Y, J, Wp, Xp
     wx0 = (1.0 - bx) * u0.astype(f32)
     wx1 = bx * u1.astype(f32)
 
-    for c in range(J):  # static unroll over channels
+    def channel_body(c, carry):
+        # fori (not unroll): the body compiles once so per-channel buffers
+        # genuinely reuse stack slots (Mosaic gives every unrolled SSA value
+        # its own slot). Dynamic indexing stays on leading block dims.
         hm_T = hm_ref[0, c]  # (Wp, H): pre-transposed outside, y on lanes
         r0T = jnp.take_along_axis(hm_T, y0gT, axis=1, mode="promise_in_bounds")
         r1T = jnp.take_along_axis(hm_T, y1gT, axis=1, mode="promise_in_bounds")
         i1 = (r0T * w0T + r1T * w1T).T[:Xp]  # (Xp, Wp) warped rows
         g0 = _gather_lanes(i1, x0c)
         g1 = _gather_lanes(i1, x1c)
-        out_ref[0, 0, :, :, c] = g0 * wx0 + g1 * wx1
+        out_ref[0, 0, c] = g0 * wx0 + g1 * wx1
+        return carry
+
+    jax.lax.fori_loop(0, J, channel_body, 0)
 
 
 def slice_warp_sample(
@@ -163,7 +169,7 @@ def slice_warp_sample(
       xs, ys:  (B, S, X, Y) sample coords in heatmap pixels (align-corners
                convention: integer coords hit texel centers).
     Returns:
-      (B, S, X, Y, J) sampled values (zero where taps fall outside).
+      (B, S, J, X, Y) channel-major samples (zero where taps fall outside).
     """
     B, H, W, J = heatmap.shape
     S, X, Y = xs.shape[1], xs.shape[2], xs.shape[3]
@@ -184,7 +190,7 @@ def slice_warp_sample(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, S, Xp, Yp, J), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, S, J, Xp, Yp), jnp.float32),
         grid=(B, S),
         in_specs=[
             pl.BlockSpec(
@@ -201,13 +207,13 @@ def slice_warp_sample(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, Xp, Yp, J), lambda b, s: (b, s, 0, 0, 0),
+            (1, 1, J, Xp, Yp), lambda b, s: (b, s, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
             # the unrolled per-channel chains need more than the 16M
             # default scoped-vmem budget
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=20 * 1024 * 1024,
         ),
     )(hm_t, xs_p, ys_p)
-    return out[:, :, :X, :Y, :]
+    return out[:, :, :, :X, :Y]

@@ -157,6 +157,96 @@ def sample_and_aggregate(
     )
 
 
+def slicewarp_supported(heatmaps: jnp.ndarray, cube_size) -> bool:
+    """Static check: the Pallas slice-warp kernel's shape constraints."""
+    H, W = heatmaps.shape[2], heatmaps.shape[3]
+    X, Y = int(cube_size[0]), int(cube_size[1])
+    return (
+        H == 128
+        and W <= 256
+        and X <= 128
+        and Y <= 128
+        and max(((W + 127) // 128) * 128, 128) >= ((Y + 127) // 128) * 128
+    )
+
+
+def sample_and_aggregate_slicewarp(
+    heatmaps: jnp.ndarray,
+    sample_grid: jnp.ndarray,
+    bounding: jnp.ndarray,
+    cube_size,
+    num_cubes: int = 1,
+) -> jnp.ndarray:
+    """Slice-warp (Pallas) sampling path -> (B, J, N).
+
+    ~5x faster than the gather path on v5e (see ops/slicewarp.py for the
+    approximation semantics; select via cfg.NETWORK.SAMPLING).
+
+    Args:
+      heatmaps:    (B, V, H, W, J)
+      sample_grid: (B, V, N, 2) normalized coords, N = num_cubes*X*Y*Z with
+                   compute_grid's x-major/z-minor flattening.
+      bounding:    (B, V, N)
+      cube_size:   static (X, Y, Z) of each cube.
+      num_cubes:   static number of stacked cubes (PoseNet candidates).
+    """
+    from selfpose3d_tpu.ops.slicewarp import slice_warp_sample
+
+    B, V, H, W, J = heatmaps.shape
+    X, Y, Z = (int(s) for s in cube_size)
+    K = num_cubes
+    N = K * X * Y * Z
+    S = K * Z
+
+    # denormalize (align-corners) and regroup x-major/z-minor -> z-slices
+    px = (sample_grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    py = (sample_grid[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    def to_slices(a):  # (B, V, N) -> (B, V, S, X, Y)
+        return (
+            a.reshape(B, V, K, X, Y, Z)
+            .transpose(0, 1, 2, 5, 3, 4)
+            .reshape(B, V, S, X, Y)
+        )
+
+    xs = to_slices(px)
+    ys = to_slices(py)
+    bnd = to_slices(bounding)
+
+    def step(acc, view):
+        wsum, bsum = acc
+        hm, x_v, y_v, b_v = view
+        samp = slice_warp_sample(hm, x_v, y_v)  # (B, S, J, X, Y)
+        return (
+            wsum + samp * b_v[:, :, None, :, :],
+            bsum + b_v,
+        ), None
+
+    views = (
+        jnp.moveaxis(heatmaps, 1, 0),
+        jnp.moveaxis(xs, 1, 0),
+        jnp.moveaxis(ys, 1, 0),
+        jnp.moveaxis(bnd, 1, 0),
+    )
+    (wsum, bsum), _ = jax.lax.scan(
+        step,
+        (
+            jnp.zeros((B, S, J, X, Y), jnp.float32),
+            jnp.zeros((B, S, X, Y), jnp.float32),
+        ),
+        views,
+    )
+    cubes = wsum / (bsum[:, :, None, :, :] + 1e-6)
+    cubes = jnp.clip(jnp.nan_to_num(cubes, nan=0.0), 0.0, 1.0)
+    # (B, S=K*Z, J, X, Y) -> (B, J, N) with x-major/z-minor flattening
+    out = (
+        cubes.reshape(B, K, Z, J, X, Y)
+        .transpose(0, 3, 1, 4, 5, 2)  # (B, J, K, X, Y, Z)
+        .reshape(B, J, N)
+    )
+    return out
+
+
 def unproject_heatmaps(
     heatmaps: jnp.ndarray,
     grid: jnp.ndarray,
@@ -166,6 +256,7 @@ def unproject_heatmaps(
     orig_wh: jnp.ndarray,
     cube_size: Sequence[int],
     hflip: Optional[jnp.ndarray] = None,
+    sampling: str = "gather",
 ) -> jnp.ndarray:
     """Full fused unprojection.
 
@@ -193,6 +284,11 @@ def unproject_heatmaps(
     sample_grid, bounding = compute_sample_grid(
         grid_bv, cam, trans, image_wh, heatmap_wh, hflip=flip, orig_wh=orig_wh
     )
-    cubes = sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding)  # (B, J, N)
+    if sampling == "slicewarp" and slicewarp_supported(heatmaps, cube_size):
+        cubes = sample_and_aggregate_slicewarp(
+            heatmaps, sample_grid, bounding, cube_size
+        )
+    else:
+        cubes = sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding)
     X, Y, Z = (int(s) for s in cube_size)
     return cubes.reshape(B, J, X, Y, Z).transpose(0, 2, 3, 4, 1)

@@ -64,7 +64,7 @@ class TestSliceWarp:
         ).reshape(B, S * X * Y, 2)
         exact = np.asarray(
             jax.vmap(grid_sample_bilinear_cmajor)(jnp.asarray(hm), jnp.asarray(grid))
-        ).reshape(B, J, S, X, Y).transpose(0, 2, 3, 4, 1)
+        ).reshape(B, J, S, X, Y).transpose(0, 2, 1, 3, 4)
 
         err = np.abs(out - exact)
         assert err.max() < 5e-3, err.max()
@@ -87,7 +87,7 @@ class TestSliceWarp:
         ).reshape(B, S * X * Y, 2)
         exact = np.asarray(
             jax.vmap(grid_sample_bilinear_cmajor)(jnp.asarray(hm), jnp.asarray(grid))
-        ).reshape(B, J, S, X, Y).transpose(0, 2, 3, 4, 1)
+        ).reshape(B, J, S, X, Y).transpose(0, 2, 1, 3, 4)
         assert np.abs(out - exact).max() < 5e-3
 
     def test_out_of_image_taps_zero(self, rng):
