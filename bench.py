@@ -34,7 +34,15 @@ def main():
     from selfpose3d_tpu.data.synthetic import make_synthetic_branch
     from selfpose3d_tpu.models import get_model
 
+    import dataclasses
+
     cfg = _flagship_cfg(tiny=False)
+    # benchmark the production fast path: the Pallas slice-warp sampler
+    # (~3.7x over the exact-gather mode; approximation bounds documented in
+    # ops/slicewarp.py — select 'gather' for bit-exact reference sampling)
+    cfg = dataclasses.replace(
+        cfg, NETWORK=dataclasses.replace(cfg.NETWORK, SAMPLING="slicewarp")
+    )
     model = get_model(cfg)  # bf16 compute path
     branch, _ = make_synthetic_branch(
         cfg, batch_size=BATCH, num_person=3, with_images=True
