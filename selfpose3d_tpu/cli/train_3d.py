@@ -58,14 +58,28 @@ def main():
     model = get_model(cfg)
     variables = init_variables(cfg, model)
 
-    # staged weight surgery (ref: tools/train_3d.py:150-180)
-    if cfg.NETWORK.PRETRAINED_BACKBONE and os.path.exists(cfg.NETWORK.PRETRAINED_BACKBONE):
+    # staged weight surgery (ref: tools/train_3d.py:150-180). Missing files
+    # and key-layout mismatches are hard errors — the curriculum must never
+    # silently train a stage from random init.
+    mapping = tuple(cfg.COCO_TO_PANOPTIC_MAPPING)
+    if cfg.NETWORK.PRETRAINED and os.path.isfile(cfg.NETWORK.PRETRAINED):
+        # at-model-build COCO warm start (ref: pose_resnet.py:274-284); the
+        # reference tolerates a missing file here (it ships a default path),
+        # so presence is checked — but a present file must load.
+        logger.info("loading pretrained backbone+attn from %s", cfg.NETWORK.PRETRAINED)
+        variables = ckpt.load_torch_stage(
+            variables, cfg.NETWORK.PRETRAINED, "pretrained", coco_mapping=mapping
+        )
+    if cfg.NETWORK.PRETRAINED_BACKBONE:
         logger.info("loading backbone from %s", cfg.NETWORK.PRETRAINED_BACKBONE)
-        variables = ckpt.load_torch_stage(variables, cfg.NETWORK.PRETRAINED_BACKBONE, "backbone")
-    if cfg.NETWORK.INIT_ROOTNET and os.path.exists(cfg.NETWORK.INIT_ROOTNET):
+        variables = ckpt.load_torch_stage(
+            variables, cfg.NETWORK.PRETRAINED_BACKBONE, "backbone",
+            coco_mapping=mapping,
+        )
+    if cfg.NETWORK.INIT_ROOTNET:
         logger.info("loading rootnet from %s", cfg.NETWORK.INIT_ROOTNET)
         variables = ckpt.load_torch_stage(variables, cfg.NETWORK.INIT_ROOTNET, "root_net")
-    if cfg.NETWORK.INIT_ALL and os.path.exists(cfg.NETWORK.INIT_ALL):
+    if cfg.NETWORK.INIT_ALL:
         logger.info("loading all weights from %s", cfg.NETWORK.INIT_ALL)
         variables = ckpt.load_torch_stage(variables, cfg.NETWORK.INIT_ALL, "all")
 

@@ -101,6 +101,13 @@ class PrefetchLoader:
 
     ``make_batch(indices) -> batch`` runs in worker threads; batches come out
     in submission order.
+
+    Multi-host: when ``process_count > 1`` every host draws the *same*
+    shuffled order (identical seed) and keeps its ``process_index``-th stripe,
+    so data-parallel hosts consume disjoint data (SURVEY §2.7 "per-host input
+    pipelines"); ``batch_size`` is the per-host batch. Defaults come from
+    ``jax.process_index()/process_count()`` — single-host runs see stride 1
+    and behave exactly as before.
     """
 
     def __init__(
@@ -113,6 +120,8 @@ class PrefetchLoader:
         prefetch: int = 4,
         seed: int = 0,
         drop_last: bool = False,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.num_samples = num_samples
         self.batch_size = batch_size
@@ -122,22 +131,37 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self._epoch = 0
+
+    @property
+    def _local_samples(self) -> int:
+        n, r = divmod(self.num_samples, self.process_count)
+        return n + (1 if self.process_index < r else 0)
 
     def __len__(self):
         if self.drop_last:
-            return self.num_samples // self.batch_size
-        return (self.num_samples + self.batch_size - 1) // self.batch_size
+            return self._local_samples // self.batch_size
+        return (self._local_samples + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator:
         order = np.arange(self.num_samples)
         if self.shuffle:
+            # same seed on every host -> identical global order -> disjoint
+            # per-host stripes
             np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        order = order[self.process_index :: self.process_count]
         self._epoch += 1
 
         batches = [
             order[i : i + self.batch_size].tolist()
-            for i in range(0, self.num_samples, self.batch_size)
+            for i in range(0, len(order), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

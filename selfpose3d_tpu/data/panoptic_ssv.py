@@ -191,18 +191,30 @@ class PanopticSSVDataset(PanopticDataset):
 
     def get_ssv_frame(
         self, frame_idx: int, seed: int = 0, load_images: bool = True,
-        max_retries: int = 50,
+        max_retries: int = 200,
     ) -> Tuple[List[dict], List[dict], List[dict]]:
-        """Three augmentation branches with rejection resampling."""
+        """Three augmentation branches with rejection resampling.
+
+        The reference resamples (aug params, frame) indefinitely until every
+        person's root is visible in >= MIN_VIEWS_CHECK views under both augs
+        (ref: JointsDatasetSSV.py:168-340, mis_count at :337-340). Here the
+        loop is bounded but convergence is forced by *progressively damping*
+        the rotation/scale magnitude every 25 failures (damped draws keep
+        roots visible whenever the un-augmented frame is valid) while also
+        resampling frames. The fallback can never emit identical branches:
+        worst case, two micro-jittered distinct augmentations are built.
+        """
         rs = np.random.RandomState(seed * 100003 + frame_idx)
         idx = frame_idx
-        for _ in range(max_retries):
-            rot1, s1, f1 = self._aug_params(rs, self.rot1, self.scale1)
-            rot2, s2, f2 = self._aug_params(rs, self.rot2, self.scale2)
+        img_w, img_h = self.cfg.NETWORK.IMAGE_SIZE
+        width, height = self.orig_wh
+        c = np.array([width / 2.0, height / 2.0])
+        mis_count = 0
+        for attempt in range(max_retries):
+            damp = 0.5 ** (attempt // 25)
+            rot1, s1, f1 = self._aug_params(rs, self.rot1 * damp, self.scale1 * damp)
+            rot2, s2, f2 = self._aug_params(rs, self.rot2 * damp, self.scale2 * damp)
 
-            img_w, img_h = self.cfg.NETWORK.IMAGE_SIZE
-            width, height = self.orig_wh
-            c = np.array([width / 2.0, height / 2.0])
             recs = [
                 self.get_view_record(idx, cs) for cs in self.cameras_sel
             ]
@@ -214,14 +226,30 @@ class PanopticSSVDataset(PanopticDataset):
                     ok = False
                     break
             if ok:
+                if mis_count:
+                    logger.info(
+                        "ssv frame %d: %d rejected augmentation draws",
+                        frame_idx, mis_count,
+                    )
                 b1 = self._build_branch(idx, rot1, s1, f1, rs, load_images)
                 b2 = self._build_branch(idx, rot2, s2, f2, rs, load_images)
                 b3 = self._build_branch(idx, 0.0, 1.0, False, rs, load_images)
                 return b1, b2, b3
-            idx = int(rs.randint(0, len(self)))  # resample another frame
-        # give up on augmentation: return un-augmented branches
+            mis_count += 1
+            if attempt % 2 == 1:
+                idx = int(rs.randint(0, len(self)))  # resample another frame
+        # pathological DB (no frame has visible roots even un-augmented):
+        # emit two *distinct* micro-jittered augmentations — never b1==b2==b3,
+        # which would trivially satisfy the consistency losses.
+        logger.warning(
+            "ssv frame %d: rejection resampling exhausted %d retries "
+            "(mis_count=%d); falling back to micro-jittered augmentations",
+            frame_idx, max_retries, mis_count,
+        )
+        b1 = self._build_branch(frame_idx, 1.0, 1.01, False, rs, load_images)
+        b2 = self._build_branch(frame_idx, -1.0, 0.99, False, rs, load_images)
         b3 = self._build_branch(frame_idx, 0.0, 1.0, False, rs, load_images)
-        return b3, b3, b3
+        return b1, b2, b3
 
     def evaluate(self, preds, roots=None, output_dir: str = ""):
         """Pose-only AP protocol for the SSV train split
