@@ -151,6 +151,17 @@ class PanopticDataset:
         else:
             self.sequence_list = skeleton.PANOPTIC_VAL_LIST
             self._interval = 12
+
+        # RandAugment/Cutout on the supervised path, training only
+        # (ref: lib/dataset/JointsDataset.py:79-84,147-148)
+        self._randaug = None
+        if is_train and cfg.DATASET.APPLY_RANDAUG:
+            from selfpose3d_tpu.data.randaugment import RandAugmentCutout
+
+            self._randaug = RandAugmentCutout(
+                use_randaug=True, use_cutout=cfg.DATASET.APPLY_CUTOUT
+            )
+        self._aug_rs = np.random.RandomState(20260816)
         self.cam_list = [skeleton.PANOPTIC_CAM_LIST[i] for i in self.cameras_sel]
 
         db_file = osp.join(
@@ -208,10 +219,14 @@ class PanopticDataset:
 
         image = None
         width, height = 1920, 1080
-        if load_images and osp.exists(rec["image"]):
+        if load_images:
             import cv2
 
-            img = cv2.imread(rec["image"], cv2.IMREAD_COLOR)
+            from selfpose3d_tpu.utils.zipreader import imread_any
+
+            # plain files or `archive.zip@member` URIs
+            # (ref: lib/dataset/JointsDataset.py:106-112)
+            img = imread_any(rec["image"], cv2.IMREAD_COLOR)
             if img is not None:
                 height, width = img.shape[:2]
                 if cfg.DATASET.COLOR_RGB:
@@ -219,9 +234,13 @@ class PanopticDataset:
                 c = np.array([width / 2.0, height / 2.0])
                 s = get_scale((width, height), (img_w, img_h))
                 trans = get_affine_transform(c, s, 0, (img_w, img_h))
-                image = cv2.warpAffine(
+                warped = cv2.warpAffine(
                     img, trans, (img_w, img_h), flags=cv2.INTER_LINEAR
-                ).astype(np.float32) / 255.0
+                )
+                if self._randaug is not None:
+                    # (ref: lib/dataset/JointsDataset.py:147-148)
+                    warped = self._randaug(warped, self._aug_rs)
+                image = warped.astype(np.float32) / 255.0
 
         c = np.array([width / 2.0, height / 2.0])
         s = get_scale((width, height), (img_w, img_h))

@@ -107,10 +107,14 @@ class PanopticSSVDataset(PanopticDataset):
             trans3 = get_affine_transform_3x3(c, s, rot, (img_w, img_h))
 
             image = None
-            if load_images and osp.exists(rec["image"]):
+            if load_images:
                 import cv2
 
-                img = cv2.imread(rec["image"], cv2.IMREAD_COLOR)
+                from selfpose3d_tpu.utils.zipreader import imread_any
+
+                # plain files or `archive.zip@member` URIs
+                # (ref: lib/dataset/JointsDataset.py:106-112)
+                img = imread_any(rec["image"], cv2.IMREAD_COLOR)
                 if img is not None:
                     if cfg.DATASET.COLOR_RGB:
                         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)

@@ -1,10 +1,18 @@
-"""Photometric RandAugment + Cutout for the SSV input pipeline.
+"""Photometric RandAugment + Cutout for the input pipelines.
 
-Re-implementation of the reference's AutoAugment-derived photometric policy
-set (ref: lib/dataset/randaugment.py:476-518 and the RandomAugumnetCutOut
-wrapper, JointsDatasetSSV.py:27-42): 7 color-only ops (no geometry — joint
-coordinates must stay valid), random 2-op policies, and 2-16 random gray
-cutout squares of 20-40 px.
+Reproduces the reference's UDA-derived policy exactly
+(ref: lib/dataset/randaugment.py:18-67,355-531 and the RandomAugumnetCutOut
+wrapper, JointsDatasetSSV.py:27-42):
+
+  * policies are ordered pairs of ops drawn uniformly from
+    7 photometric ops x magnitude indices 1..9, each op applied with
+    probability 0.5 (``get_rand_policies``: the flat op list excludes
+    magnitude index 0, and every (op1, op2) pair is equally likely — which
+    is identical to sampling op1 and op2 independently);
+  * enhance-style ops use strength 1 +- 0.1*idx with a random sign;
+    posterize keeps round(linspace(8, 4, 10))[idx] bits;
+  * cutout draws 2..15 patches of size 20..39, each centered uniformly over
+    the image and clipped at the borders, filled with RGB (125, 122, 113).
 """
 
 from __future__ import annotations
@@ -20,57 +28,87 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PIL = False
 
+# fill color of reference Cutout patches (ref: randaugment.py:70)
+_CUTOUT_FILL = (125, 122, 113)
 
-def _sharpness(img, mag):
-    return ImageEnhance.Sharpness(img).enhance(mag)
+# round(linspace(8, 4, 10)) (ref: randaugment.py:379)
+_POSTERIZE_BITS = np.round(np.linspace(8, 4, 10)).astype(int)
 
 
-def _autocontrast(img, _):
+def _signed(mag_idx: int, rs) -> float:
+    return 1.0 + 0.1 * mag_idx * (1 if rs.rand() < 0.5 else -1)
+
+
+def _sharpness(img, mag_idx, rs):
+    return ImageEnhance.Sharpness(img).enhance(_signed(mag_idx, rs))
+
+
+def _autocontrast(img, mag_idx, rs):
     return ImageOps.autocontrast(img)
 
 
-def _posterize(img, mag):
-    return ImageOps.posterize(img, int(np.clip(mag, 1, 8)))
+def _posterize(img, mag_idx, rs):
+    return ImageOps.posterize(img, int(_POSTERIZE_BITS[mag_idx]))
 
 
-def _equalize(img, _):
+def _equalize(img, mag_idx, rs):
     return ImageOps.equalize(img)
 
 
-def _contrast(img, mag):
-    return ImageEnhance.Contrast(img).enhance(mag)
+def _contrast(img, mag_idx, rs):
+    return ImageEnhance.Contrast(img).enhance(_signed(mag_idx, rs))
 
 
-def _color(img, mag):
-    return ImageEnhance.Color(img).enhance(mag)
+def _color(img, mag_idx, rs):
+    return ImageEnhance.Color(img).enhance(_signed(mag_idx, rs))
 
 
-def _brightness(img, mag):
-    return ImageEnhance.Brightness(img).enhance(mag)
+def _brightness(img, mag_idx, rs):
+    return ImageEnhance.Brightness(img).enhance(_signed(mag_idx, rs))
 
 
-# (op, magnitude low, magnitude high) — photometric only
+# reference trans_list order (ref: randaugment.py:480-489)
 _OPS = [
-    (_sharpness, 0.1, 1.9),
-    (_autocontrast, 0.0, 1.0),
-    (_posterize, 4.0, 8.0),
-    (_equalize, 0.0, 1.0),
-    (_contrast, 0.5, 1.5),
-    (_color, 0.5, 1.5),
-    (_brightness, 0.5, 1.5),
+    _sharpness,
+    _autocontrast,
+    _posterize,
+    _equalize,
+    _contrast,
+    _color,
+    _brightness,
 ]
 
 
 def rand_augment(image: np.ndarray, rs: np.random.RandomState, n_ops: int = 2) -> np.ndarray:
-    """Apply ``n_ops`` random photometric ops (uint8 HWC in/out)."""
+    """Apply a random 2-op photometric policy (uint8 HWC in/out).
+
+    Matches the reference distribution: each of ``n_ops`` ops is drawn
+    uniformly from ops x magnitudes 1..9 and applied with probability 0.5
+    (ref: randaugment.py:494-505,455-459).
+    """
     if not _HAS_PIL:
         return image
     img = Image.fromarray(image)
     for _ in range(n_ops):
-        op, lo, hi = _OPS[rs.randint(len(_OPS))]
-        if rs.rand() < 0.8:  # per-op apply probability
-            img = op(img, rs.uniform(lo, hi))
+        op = _OPS[rs.randint(len(_OPS))]
+        mag_idx = int(rs.randint(1, 10))
+        if rs.rand() < 0.5:
+            img = op(img, mag_idx, rs)
     return np.asarray(img)
+
+
+def cutout_patch(image: np.ndarray, rs: np.random.RandomState, size: int) -> None:
+    """One border-clipped cutout patch, in place (ref: randaugment.py:22-71)."""
+    h, w = image.shape[:2]
+    cy = rs.randint(0, h)
+    cx = rs.randint(0, w)
+    y0, x0 = max(0, cy - size // 2), max(0, cx - size // 2)
+    y1, x1 = min(h, cy + size // 2), min(w, cx + size // 2)
+    if y1 > y0 and x1 > x0:
+        image[y0:y1, x0:x1] = np.array(
+            _CUTOUT_FILL[: image.shape[2] if image.ndim == 3 else 1],
+            dtype=image.dtype,
+        )
 
 
 def cutout(
@@ -80,21 +118,17 @@ def cutout(
     max_holes: int = 16,
     min_size: int = 20,
     max_size: int = 40,
-    fill: int = 127,
 ) -> np.ndarray:
-    """Random gray squares (ref: randaugment.py:18-40, wrapper 27-42)."""
+    """2..15 gray patches of 20..39 px (ref: JointsDatasetSSV.py:36-42;
+    bounds are numpy-randint half-open like the reference's)."""
     out = image.copy()
-    h, w = out.shape[:2]
-    for _ in range(rs.randint(min_holes, max_holes + 1)):
-        size = rs.randint(min_size, max_size + 1)
-        y = rs.randint(0, max(1, h - size))
-        x = rs.randint(0, max(1, w - size))
-        out[y : y + size, x : x + size] = fill
+    for _ in range(rs.randint(min_holes, max_holes)):
+        cutout_patch(out, rs, int(rs.randint(min_size, max_size)))
     return out
 
 
 class RandAugmentCutout:
-    """Composite policy used by the SSV datasets."""
+    """Composite policy used by the datasets (ref: JointsDatasetSSV.py:27-42)."""
 
     def __init__(self, use_randaug: bool = True, use_cutout: bool = True):
         self.use_randaug = use_randaug

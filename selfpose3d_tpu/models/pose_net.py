@@ -93,7 +93,8 @@ class PoseNet(nn.Module):
         )
         if self.sampling == "slicewarp" and slicewarp_supported(heatmaps, self.cube_size):
             feats = sample_and_aggregate_slicewarp(
-                heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K
+                heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K,
+                mode="flags",  # per-candidate cubes: slope ~constant per slice
             )  # (B, J, K*N)
         else:
             feats = sample_and_aggregate_cmajor(
@@ -107,7 +108,16 @@ class PoseNet(nn.Module):
         )
         # zero invalid candidates' cubes so they contribute nothing downstream
         cubes = cubes * valid.reshape(B * K, 1, 1, 1, 1)
-        scored = self.v2v_net(cubes, train=train)  # (B*K, X, Y, Z, J)
+        # BatchNorm statistics only over valid candidates (the reference runs
+        # V2V on valid candidates alone, ref pose_regression_net.py:49-51);
+        # when nothing is valid, fall back to the full batch so masked
+        # moments stay finite (the loss is masked out either way).
+        bn_mask = None
+        if train:
+            any_valid = jnp.any(valid > 0)
+            stats_sel = jnp.where(any_valid, valid, jnp.ones_like(valid))
+            bn_mask = (stats_sel > 0).reshape(B * K, 1, 1, 1, 1)
+        scored = self.v2v_net(cubes, train=train, mask=bn_mask)  # (B*K, X, Y, Z, J)
 
         scores = scored.reshape(B, K, N, J).transpose(0, 1, 3, 2)  # (B, K, J, N)
         pred = soft_argmax(scores, grids, beta=self.beta)  # (B, K, J, 3)

@@ -32,7 +32,7 @@ class Basic3DBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         x = nn.Conv(
             self.out_ch,
             (self.kernel,) * 3,
@@ -43,7 +43,7 @@ class Basic3DBlock(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
-        )(x)
+        )(x, mask=mask)
         return nn.relu(x)
 
 
@@ -52,7 +52,7 @@ class Res3DBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         in_ch = x.shape[-1]
         res = nn.Conv(
             self.out_ch, (3, 3, 3), padding=1, kernel_init=conv_init,
@@ -60,7 +60,7 @@ class Res3DBlock(nn.Module):
         )(x)
         res = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn1"
-        )(res)
+        )(res, mask=mask)
         res = nn.relu(res)
         res = nn.Conv(
             self.out_ch, (3, 3, 3), padding=1, kernel_init=conv_init,
@@ -68,7 +68,7 @@ class Res3DBlock(nn.Module):
         )(res)
         res = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn2"
-        )(res)
+        )(res, mask=mask)
 
         if in_ch == self.out_ch:
             skip = x
@@ -80,7 +80,7 @@ class Res3DBlock(nn.Module):
             skip = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 dtype=self.dtype, name="skip_bn",
-            )(skip)
+            )(skip, mask=mask)
         return nn.relu(res + skip)
 
 
@@ -89,7 +89,7 @@ class Upsample3DBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         # ConvTranspose3d(k=2, s=2, p=0): exact 2x upsampling, no tap overlap
         x = nn.ConvTranspose(
             self.out_ch,
@@ -102,7 +102,7 @@ class Upsample3DBlock(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
-        )(x)
+        )(x, mask=mask)
         return nn.relu(x)
 
 
@@ -114,39 +114,46 @@ class EncoderDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        skip1 = Res3DBlock(32, dtype=self.dtype, name="skip_res1")(x, train)
+    def __call__(self, x, train: bool = False, mask=None):
+        skip1 = Res3DBlock(32, dtype=self.dtype, name="skip_res1")(x, train, mask)
         x = _max_pool_3d(x, 2)
-        x = Res3DBlock(64, dtype=self.dtype, name="encoder_res1")(x, train)
+        x = Res3DBlock(64, dtype=self.dtype, name="encoder_res1")(x, train, mask)
 
-        skip2 = Res3DBlock(64, dtype=self.dtype, name="skip_res2")(x, train)
+        skip2 = Res3DBlock(64, dtype=self.dtype, name="skip_res2")(x, train, mask)
         x = _max_pool_3d(x, 2)
-        x = Res3DBlock(128, dtype=self.dtype, name="encoder_res2")(x, train)
+        x = Res3DBlock(128, dtype=self.dtype, name="encoder_res2")(x, train, mask)
 
-        x = Res3DBlock(128, dtype=self.dtype, name="mid_res")(x, train)
+        x = Res3DBlock(128, dtype=self.dtype, name="mid_res")(x, train, mask)
 
-        x = Res3DBlock(128, dtype=self.dtype, name="decoder_res2")(x, train)
-        x = Upsample3DBlock(64, dtype=self.dtype, name="decoder_upsample2")(x, train)
+        x = Res3DBlock(128, dtype=self.dtype, name="decoder_res2")(x, train, mask)
+        x = Upsample3DBlock(64, dtype=self.dtype, name="decoder_upsample2")(x, train, mask)
         x = x + skip2
 
-        x = Res3DBlock(64, dtype=self.dtype, name="decoder_res1")(x, train)
-        x = Upsample3DBlock(32, dtype=self.dtype, name="decoder_upsample1")(x, train)
+        x = Res3DBlock(64, dtype=self.dtype, name="decoder_res1")(x, train, mask)
+        x = Upsample3DBlock(32, dtype=self.dtype, name="decoder_upsample1")(x, train, mask)
         x = x + skip1
         return x
 
 
 class V2VNet(nn.Module):
-    """Input (B, X, Y, Z, C_in) -> (B, X, Y, Z, C_out)."""
+    """Input (B, X, Y, Z, C_in) -> (B, X, Y, Z, C_out).
+
+    ``mask`` (broadcastable to x, e.g. (B, 1, 1, 1, 1) bools) restricts
+    BatchNorm *statistics* to the selected examples without changing shapes —
+    the TPU-native equivalent of the reference's valid-candidates-only python
+    loop through V2V (ref: lib/models/pose_regression_net.py:49-51), where BN
+    batch moments never see the padding candidates.
+    """
 
     out_ch: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         x = x.astype(self.dtype)
-        x = Basic3DBlock(16, 7, dtype=self.dtype, name="front_basic")(x, train)
-        x = Res3DBlock(32, dtype=self.dtype, name="front_res")(x, train)
-        x = EncoderDecoder(dtype=self.dtype, name="encoder_decoder")(x, train)
+        x = Basic3DBlock(16, 7, dtype=self.dtype, name="front_basic")(x, train, mask)
+        x = Res3DBlock(32, dtype=self.dtype, name="front_res")(x, train, mask)
+        x = EncoderDecoder(dtype=self.dtype, name="encoder_decoder")(x, train, mask)
         x = nn.Conv(
             self.out_ch, (1, 1, 1), kernel_init=conv_init,
             dtype=jnp.float32, name="output_layer",

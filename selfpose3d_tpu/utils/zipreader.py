@@ -43,9 +43,17 @@ def imread(path: str, flags=None):
 
 
 def imread_any(path: str, flags=None):
-    """Dispatch between plain files and zip URIs."""
+    """Dispatch between plain files and zip URIs.
+
+    Returns None for unreadable inputs, matching cv2.imread semantics
+    (the datasets treat None as a skippable record,
+    ref: lib/dataset/JointsDataset.py:114-117).
+    """
     import cv2
 
     if is_zip_path(path):
-        return imread(path, flags)
+        try:
+            return imread(path, flags)
+        except (OSError, KeyError, zipfile.BadZipFile):
+            return None
     return cv2.imread(path, flags if flags is not None else cv2.IMREAD_COLOR)

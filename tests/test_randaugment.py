@@ -12,13 +12,33 @@ class TestRandAugment:
         out = rand_augment(img, rs)
         assert out.shape == img.shape and out.dtype == np.uint8
 
-    def test_cutout_fills_gray(self, rng):
+    def test_cutout_fills_reference_color(self, rng):
         img = np.zeros((100, 100, 3), np.uint8)
         rs = np.random.RandomState(1)
-        out = cutout(img, rs, min_holes=3, max_holes=3)
-        assert (out == 127).any()
+        out = cutout(img, rs, min_holes=3, max_holes=4)
+        # reference Cutout fill (ref: lib/dataset/randaugment.py:70)
+        filled = (out != 0).any(axis=-1)
+        assert filled.any()
+        np.testing.assert_array_equal(
+            out[filled], np.tile([125, 122, 113], (filled.sum(), 1))
+        )
         # original untouched
         assert img.max() == 0
+
+    def test_policy_distribution_matches_reference(self):
+        """Ops fire with p=0.5 and magnitudes stay in the reference table:
+        posterize uses round(linspace(8,4,10))[1..9] bits (>= 4), enhance ops
+        use strength 1 +- 0.1*idx, idx in 1..9 (ref: randaugment.py:355-505)."""
+        img = (np.random.RandomState(0).rand(48, 48, 3) * 255).astype(np.uint8)
+        rs = np.random.RandomState(3)
+        n_changed = 0
+        trials = 200
+        for _ in range(trials):
+            out = rand_augment(img, rs)
+            if not np.array_equal(out, img):
+                n_changed += 1
+        # P(no op fires) = 0.25; allow generous slack
+        assert 0.5 * trials < n_changed < 0.95 * trials
 
     def test_wrapper_deterministic_per_seed(self, rng):
         img = (rng.rand(80, 80, 3) * 255).astype(np.uint8)

@@ -136,3 +136,178 @@ class TorchV2V(nn.Module):
 
     def forward(self, x):
         return self.output_layer(self.encoder_decoder(self.front_layers(x)))
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline inference oracle: ProjectLayer + proposal + soft-argmax
+# composed exactly like the reference's do_inference
+# (ref: lib/models/multi_person_posenet_ssv.py:105-153). Used by
+# tests/test_full_parity.py to validate the composed jax stack at pose level.
+# ---------------------------------------------------------------------------
+
+
+def torch_project_pose(x, cam):
+    """N x 3 world-mm -> N x 2 pixels (ref: lib/utils/cameras.py:27-113)."""
+    R, T, f, c, k, p = (cam[n] for n in ("R", "T", "f", "c", "k", "p"))
+    n = x.shape[0]
+    xcam = R @ (x.t() - T)
+    y = xcam[:2] / (xcam[2] + 1e-5)
+    r2 = torch.clamp(torch.sum(y**2, dim=0, keepdim=True), max=1e10)
+    r2exp = torch.cat([r2, r2**2, r2**3], dim=0)
+    radial = 1 + torch.einsum("ij,ij->j", k.repeat(1, n), r2exp)
+    tan = p[0] * y[1] + p[1] * y[0]
+    corr = (radial + 2 * tan).repeat(2, 1)
+    y = y * corr + torch.ger(torch.cat([p[1], p[0]]).view(-1), r2.view(-1))
+    return (f * y + c).t()
+
+
+def torch_compute_grid(box_size, box_center, nbins):
+    """x-major / z-minor voxel-center lattice (ref: project_layer.py:22-40)."""
+    axes = [
+        torch.linspace(-box_size[d] / 2, box_size[d] / 2, nbins[d]) + box_center[d]
+        for d in range(3)
+    ]
+    gx, gy, gz = torch.meshgrid(*axes, indexing="ij")
+    return torch.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], dim=1)
+
+
+class TorchProjectLayer:
+    """Reference ProjectLayer semantics (ref: lib/models/project_layer.py:15-105)."""
+
+    def __init__(self, image_size, heatmap_size):
+        self.img_size = list(image_size)  # (W, H)
+        self.heatmap_size = list(heatmap_size)
+
+    def get_voxel(self, heatmaps, cams, trans, orig_wh, grid_size, grid_center,
+                  cube_size, flip_xcoords=None):
+        """heatmaps: list per view of (B, J, H, W); cams: [view][batch] dicts;
+        trans: (B, V, >=2, 3); orig_wh: (B, V, 2); grid_center: list of one
+        center (rootnet) or (B, >=4) per-candidate centers (posenet)."""
+        B, J = heatmaps[0].shape[:2]
+        V = len(heatmaps)
+        nbins = cube_size[0] * cube_size[1] * cube_size[2]
+        w, h = self.heatmap_size
+        cubes = torch.zeros(B, J, 1, nbins, V)
+        bounding = torch.zeros(B, 1, 1, nbins, V)
+        grids = torch.zeros(B, nbins, 3)
+        for i in range(B):
+            if len(grid_center[0]) == 3 or grid_center[i][3] >= 0:
+                center = grid_center[0] if len(grid_center) == 1 else grid_center[i]
+                grid = torch_compute_grid(grid_size, center, cube_size)
+                grids[i] = grid
+                for v in range(V):
+                    width, height = orig_wh[i, v, 0], orig_wh[i, v, 1]
+                    xy = torch_project_pose(grid, cams[v][i])
+                    bounding[i, 0, 0, :, v] = (
+                        (xy[:, 0] >= 0) & (xy[:, 1] >= 0)
+                        & (xy[:, 0] < width) & (xy[:, 1] < height)
+                    ).float()
+                    xy = torch.clamp(xy, -1.0, max(width, height))
+                    tr = trans[i, v, :2]  # (2, 3)
+                    ones = torch.ones(xy.shape[0], 1)
+                    xy = torch.cat([xy, ones], dim=1) @ tr.t()
+                    if flip_xcoords is not None and flip_xcoords[i]:
+                        xy[:, 0] = self.img_size[0] - xy[:, 0]
+                    xy = xy * torch.tensor([float(w), float(h)]) / torch.tensor(
+                        [float(s) for s in self.img_size]
+                    )
+                    sg = xy / torch.tensor([w - 1.0, h - 1.0]) * 2.0 - 1.0
+                    sg = torch.clamp(sg.view(1, 1, nbins, 2), -1.1, 1.1)
+                    cubes[i : i + 1, :, :, :, v] += F.grid_sample(
+                        heatmaps[v][i : i + 1], sg, align_corners=True
+                    )
+        cubes = torch.sum(cubes * bounding, dim=-1) / (
+            torch.sum(bounding, dim=-1) + 1e-6
+        )
+        cubes[cubes != cubes] = 0.0
+        cubes = cubes.clamp(0.0, 1.0)
+        return cubes.view(B, J, *cube_size), grids
+
+
+def torch_nms_topk(root_cubes, max_num):
+    """max-pool keep-equal NMS + top-k unravel (ref: lib/core/proposal.py:18-48)."""
+    B = root_cubes.shape[0]
+    shape = root_cubes.shape[1:]
+    pooled = F.max_pool3d(root_cubes, kernel_size=3, stride=1, padding=1)
+    nmsed = (root_cubes == pooled).float() * root_cubes
+    values, idx = nmsed.reshape(B, -1).topk(max_num)
+    ix = idx // (shape[1] * shape[2])
+    iy = (idx % (shape[1] * shape[2])) // shape[2]
+    iz = idx % shape[2]
+    return values, torch.stack([ix, iy, iz], dim=2).float()
+
+
+def torch_proposals_soft(root_cubes, max_num, threshold, space_size,
+                         space_center, cube_size):
+    """ProposalLayerSoft (ref: cuboid_proposal_net_soft.py:18-68)."""
+    values, index = torch_nms_topk(root_cubes, max_num)
+    cube = torch.tensor([float(s) for s in cube_size])
+    size = torch.tensor([float(s) for s in space_size])
+    center = torch.tensor([float(s) for s in space_center])
+    loc = index / (cube - 1.0) * size + center - size / 2.0
+    B = root_cubes.shape[0]
+    gc = torch.zeros(B, max_num, 5)
+    gc[:, :, 0:3] = loc
+    gc[:, :, 4] = values
+    gc[:, :, 3] = (values > threshold).float() - 1.0
+    return gc
+
+
+def torch_soft_argmax(x, grids, beta):
+    """(B, J, X, Y, Z), (B, N, 3) -> (B, J, 3) (ref: pose_regression_net.py:14-28)."""
+    B, J = x.shape[:2]
+    w = F.softmax(beta * x.reshape(B, J, -1, 1), dim=2)
+    return torch.sum(w * grids.unsqueeze(1), dim=2)
+
+
+class TorchInferencePipeline:
+    """Composed rootnet -> proposals -> per-candidate posenet inference,
+    mirroring MultiPersonPoseNetSSV.do_inference
+    (ref: multi_person_posenet_ssv.py:105-153) with ROOTNET_ROOTHM root
+    heatmaps (ref: cuboid_proposal_net_soft.py:129-147)."""
+
+    def __init__(self, cfg_ns, root_v2v, pose_v2v):
+        self.c = cfg_ns
+        self.root_v2v = root_v2v
+        self.pose_v2v = pose_v2v
+        self.project = TorchProjectLayer(
+            cfg_ns.NETWORK.IMAGE_SIZE, cfg_ns.NETWORK.HEATMAP_SIZE
+        )
+
+    @torch.no_grad()
+    def do_inference(self, heatmaps, cams, trans, orig_wh):
+        c = self.c
+        B, J = heatmaps[0].shape[:2]
+        K = c.MULTI_PERSON.MAX_PEOPLE_NUM
+        rid = c.DATASET.ROOTIDX
+
+        root_hms = [hm[:, rid : rid + 1] for hm in heatmaps]
+        initial_cubes, _ = self.project.get_voxel(
+            root_hms, cams, trans, orig_wh,
+            c.MULTI_PERSON.SPACE_SIZE, [c.MULTI_PERSON.SPACE_CENTER],
+            c.MULTI_PERSON.INITIAL_CUBE_SIZE,
+        )
+        root_cubes = self.root_v2v(initial_cubes).squeeze(1)
+        grid_centers = torch_proposals_soft(
+            root_cubes, K, c.MULTI_PERSON.THRESHOLD,
+            c.MULTI_PERSON.SPACE_SIZE, c.MULTI_PERSON.SPACE_CENTER,
+            c.MULTI_PERSON.INITIAL_CUBE_SIZE,
+        )
+
+        pred = torch.zeros(B, K, J, 5)
+        pred[:, :, :, 3:] = grid_centers[:, :, 3:].reshape(B, -1, 1, 2)
+        for n in range(K):
+            if (grid_centers[:, n, 3] >= 0).sum() > 0:
+                cubes, grids = self.project.get_voxel(
+                    heatmaps, cams, trans, orig_wh,
+                    c.PICT_STRUCT.GRID_SIZE, grid_centers[:, n],
+                    c.PICT_STRUCT.CUBE_SIZE,
+                )
+                index = grid_centers[:, n, 3] >= 0
+                single = torch.zeros(B, J, 3)
+                valid_scored = self.pose_v2v(cubes[index])
+                single[index] = torch_soft_argmax(
+                    valid_scored, grids[index], c.NETWORK.BETA
+                )
+                pred[:, n, :, 0:3] = single
+        return pred, root_cubes, grid_centers
