@@ -56,10 +56,12 @@ class NetworkConfig:
         (1500.0, -1500.0),
         (250.0, -300.0),
     )
-    # voxel sampling implementation: 'gather' = exact reference bilinear;
-    # 'slicewarp' = ~5x faster Pallas warp kernel (~4e-4 approximation,
-    # see ops/slicewarp.py); falls back to gather when shapes unsupported
-    SAMPLING: str = "gather"
+    # voxel sampling implementation: 'slicewarp' (default) = Pallas warp
+    # kernel, exact bilinear within its tap band with exact-gather fallback
+    # slots (see ops/slicewarp.py) and far faster than XLA's gather on TPU;
+    # 'gather' = plain XLA bilinear gather. slicewarp falls back to gather
+    # automatically off-TPU or when shapes are unsupported.
+    SAMPLING: str = "slicewarp"
 
 
 @dataclass

@@ -94,7 +94,9 @@ class PoseNet(nn.Module):
         if self.sampling == "slicewarp" and slicewarp_supported(heatmaps, self.cube_size):
             feats = sample_and_aggregate_slicewarp(
                 heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K,
-                mode="flags",  # per-candidate cubes: slope ~constant per slice
+                mode="both",  # per-candidate cubes: both orientations, no
+                # sort-based fallback (band can only fail in both when a
+                # camera sits inside the person cube)
             )  # (B, J, K*N)
         else:
             feats = sample_and_aggregate_cmajor(

@@ -158,16 +158,80 @@ def sample_and_aggregate(
 
 
 def slicewarp_supported(heatmaps: jnp.ndarray, cube_size) -> bool:
-    """Static check: the Pallas slice-warp kernel's shape constraints."""
+    """Static check: the Pallas slice-warp kernel's shape constraints
+    (both warp orientations must fit the <=2-vreg gather tables), and a
+    TPU backend (off-TPU callers fall back to the exact XLA gather)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
     H, W = heatmaps.shape[2], heatmaps.shape[3]
     X, Y = int(cube_size[0]), int(cube_size[1])
-    return (
-        H == 128
-        and W <= 256
-        and X <= 128
-        and Y <= 128
-        and max(((W + 127) // 128) * 128, 128) >= ((Y + 127) // 128) * 128
-    )
+    return H <= 256 and W <= 256 and X <= 128 and 2 <= Y <= 128
+
+
+def _exact_fix_failed(
+    samp: jnp.ndarray,
+    ok: jnp.ndarray,
+    hm: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    budget: int = 8192,
+) -> jnp.ndarray:
+    """Re-sample band-failed points exactly through fixed fallback slots.
+
+    The slice-warp kernel reports, per point, whether its 4-tap band held in
+    either warp orientation; the handful that fail (voxel rows projecting
+    non-monotonically because they pass near a camera center) are compacted
+    into ``budget`` slots via top-k, gathered exactly (the 4-tap bilinear the
+    reference's grid_sample computes), and scattered back. Failures beyond
+    the budget keep the warp value (graceful degradation).
+
+    Args:
+      samp: (B, S, J, X, Y) warp samples.
+      ok:   (B, S, X, Y) 1 where exact already.
+      hm:   (B, H, W, J).
+      xs, ys: (B, S, X, Y) pixel coords.
+    """
+    B, S, J, X, Y = samp.shape
+    H, W = hm.shape[1], hm.shape[2]
+    N = S * X * Y
+    R = min(budget, N)
+
+    bad = 1.0 - ok.reshape(B, N)
+    score, idxs = jax.lax.top_k(bad, R)  # (B, R); ties -> lowest index
+    took = score > 0.5
+
+    def fix_one(samp_b, hm_b, xs_b, ys_b, idx_b, took_b):
+        px = jnp.take(xs_b.reshape(N), idx_b)
+        py = jnp.take(ys_b.reshape(N), idx_b)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        ux = px - x0
+        vy = py - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        flat = hm_b.reshape(H * W, J)
+        vals = jnp.zeros((R, J), jnp.float32)
+        for dy, dx, wgt in (
+            (0, 0, (1 - ux) * (1 - vy)),
+            (0, 1, ux * (1 - vy)),
+            (1, 0, (1 - ux) * vy),
+            (1, 1, ux * vy),
+        ):
+            yi = y0i + dy
+            xi = x0i + dx
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            rows = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            vals = vals + jnp.take(flat, rows, axis=0) * (
+                wgt * valid.astype(jnp.float32)
+            )[:, None]
+        # scatter back into the channel-major flat view
+        cm = samp_b.transpose(1, 0, 2, 3).reshape(J, N)
+        old = jnp.take(cm, idx_b, axis=1)  # (J, R)
+        new = jnp.where(took_b[None, :], vals.T, old)
+        cm = cm.at[:, idx_b].set(new)
+        return cm.reshape(J, S, X, Y).transpose(1, 0, 2, 3)
+
+    return jax.vmap(fix_one)(samp, hm, xs, ys, idxs, took)
 
 
 def sample_and_aggregate_slicewarp(
@@ -176,11 +240,13 @@ def sample_and_aggregate_slicewarp(
     bounding: jnp.ndarray,
     cube_size,
     num_cubes: int = 1,
+    mode: str = "flags",
 ) -> jnp.ndarray:
     """Slice-warp (Pallas) sampling path -> (B, J, N).
 
-    ~5x faster than the gather path on v5e (see ops/slicewarp.py for the
-    approximation semantics; select via cfg.NETWORK.SAMPLING).
+    Exact bilinear within the kernel's 4-tap band (see ops/slicewarp.py);
+    much faster than the XLA gather path on v5e. Select via
+    cfg.NETWORK.SAMPLING.
 
     Args:
       heatmaps:    (B, V, H, W, J)
@@ -189,6 +255,18 @@ def sample_and_aggregate_slicewarp(
       bounding:    (B, V, N)
       cube_size:   static (X, Y, Z) of each cube.
       num_cubes:   static number of stacked cubes (PoseNet candidates).
+      mode:        'both' — run both warp orientations and select per point
+                   where the tap band held (the kernel is cheap enough that
+                   two passes beat any compaction machinery; right for
+                   per-candidate PoseNet cubes, where band failure in both
+                   orientations would need a camera inside the cube);
+                   'both_fix' — additionally route points whose band failed
+                   in both orientations through exact-gather fallback slots
+                   (needed for the whole-space RootNet grid, whose rows can
+                   pass arbitrarily close to cameras and project
+                   non-monotonically); 'flags' — single pass with per-slice
+                   orientation flags (fastest, small residual error near the
+                   orientation threshold — not used by default).
     """
     from selfpose3d_tpu.ops.slicewarp import slice_warp_sample
 
@@ -213,10 +291,34 @@ def sample_and_aggregate_slicewarp(
     ys = to_slices(py)
     bnd = to_slices(bounding)
 
+    # per-slice warp orientation: warp along the shallower image axis
+    # (slope -> 1/slope when flipped); a projected voxel lattice cannot be
+    # steep in both image axes at once
+    dx = jnp.abs(jnp.diff(xs, axis=-1))
+    dy = jnp.abs(jnp.diff(ys, axis=-1))
+    steep = jnp.mean((dy > dx).astype(jnp.float32), axis=(3, 4))  # (B, V, S)
+    flips = (steep > 0.5).astype(jnp.int32)
+
     def step(acc, view):
         wsum, bsum = acc
-        hm, x_v, y_v, b_v = view
-        samp = slice_warp_sample(hm, x_v, y_v)  # (B, S, J, X, Y)
+        hm, x_v, y_v, b_v, flip_v = view
+        if mode in ("both", "both_fix"):
+            samp_a, ok_a = slice_warp_sample(hm, x_v, y_v)
+            samp_b, ok_b = slice_warp_sample(
+                hm, x_v, y_v, flip=jnp.ones((B, S), jnp.int32)
+            )
+            sel = ok_a[:, :, None, :, :]
+            samp = samp_a * sel + samp_b * (1.0 - sel)
+            if mode == "both_fix":
+                # points whose band held in neither orientation (rows
+                # passing near a camera center project non-monotonically)
+                # get an exact gather through a fixed budget of fallback
+                # slots; the top-k compaction costs a sort over N, so this
+                # is reserved for the (small) whole-space RootNet grid
+                ok = jnp.maximum(ok_a, ok_b)
+                samp = _exact_fix_failed(samp, ok, hm, x_v, y_v)
+        else:
+            samp, _ = slice_warp_sample(hm, x_v, y_v, flip=flip_v)
         return (
             wsum + samp * b_v[:, :, None, :, :],
             bsum + b_v,
@@ -227,6 +329,7 @@ def sample_and_aggregate_slicewarp(
         jnp.moveaxis(xs, 1, 0),
         jnp.moveaxis(ys, 1, 0),
         jnp.moveaxis(bnd, 1, 0),
+        jnp.moveaxis(flips, 1, 0),
     )
     (wsum, bsum), _ = jax.lax.scan(
         step,
@@ -285,8 +388,11 @@ def unproject_heatmaps(
         grid_bv, cam, trans, image_wh, heatmap_wh, hflip=flip, orig_wh=orig_wh
     )
     if sampling == "slicewarp" and slicewarp_supported(heatmaps, cube_size):
+        # whole-space grids (this path's only caller is RootNet) need the
+        # per-point orientation selection AND the exact-gather fallback for
+        # rows passing near cameras — see sample_and_aggregate_slicewarp
         cubes = sample_and_aggregate_slicewarp(
-            heatmaps, sample_grid, bounding, cube_size
+            heatmaps, sample_grid, bounding, cube_size, mode="both_fix"
         )
     else:
         cubes = sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding)

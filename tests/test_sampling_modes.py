@@ -57,11 +57,51 @@ def test_unproject_modes_agree(rng):
 
     assert exact.shape == warp.shape == (1, 64, 64, 8, 4)
     err = np.abs(exact - warp)
-    # sheared-lattice bilinear vs exact: worst case sits on steep projected
-    # curves (view direction near the slice-row axis); measured ~0.045 of a
-    # unit peak there, ~1e-4 mean. Per-point pass-order selection would cut
-    # the worst case (ROADMAP).
-    assert err.max() < 0.06, err.max()
-    assert err.mean() < 5e-4, err.mean()
+    # the kernel is exact bilinear where its 4-tap band holds; the 'both'
+    # orientation mode covers the whole-space grid's wildly varying slopes
+    # (incl. rows passing near a camera), so this is a parity bound, not an
+    # approximation bound (VERDICT r1 target: < 1e-3 worst-case)
+    assert err.max() < 1e-3, err.max()
+    assert err.mean() < 1e-6, err.mean()
     # and the cube is not trivially zero
     assert exact.max() > 0.3
+
+
+def test_posenet_cubes_both_mode(rng):
+    """Per-candidate 2m cubes through the dual-orientation path
+    must match the exact gather — this is the PoseNet configuration
+    (both orientations, no sort-based fallback)."""
+    from selfpose3d_tpu.config import load_config
+    from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+    from selfpose3d_tpu.geometry.grid import compute_grid
+    from selfpose3d_tpu.ops.unproject import (
+        compute_sample_grid,
+        sample_and_aggregate_cmajor,
+        sample_and_aggregate_slicewarp,
+    )
+
+    cfg = load_config(overrides={
+        "NETWORK": {"IMAGE_SIZE": [960, 512], "HEATMAP_SIZE": [240, 128],
+                    "NUM_JOINTS": 3, "SIGMA": 3},
+        "DATASET": {"CAMERA_NUM": 3},
+    })
+    branch, gt = make_synthetic_branch(cfg, batch_size=1, num_person=3,
+                                       with_images=False)
+    hm = branch.input_heatmaps[..., :3]
+    B, V, H, W, J = hm.shape
+    K, X = 4, 32
+    roots = np.asarray(branch.roots_3d)[:, :K]  # (1, K, 3) person-ish centers
+    grids = jax.vmap(jax.vmap(
+        lambda c: compute_grid((2000.0, 2000.0, 2000.0), c, (X, X, X))
+    ))(jnp.asarray(roots))
+    flat = grids.reshape(B, 1, K * X * X * X, 3)
+    sg, bnd = compute_sample_grid(
+        flat, branch.cam, branch.trans, (960, 512), (W, H),
+        orig_wh=branch.orig_wh,
+    )
+    exact = np.asarray(sample_and_aggregate_cmajor(hm, sg, bnd))
+    warp = np.asarray(sample_and_aggregate_slicewarp(
+        hm, sg, bnd, (X, X, X), num_cubes=K, mode="both"
+    ))
+    err = np.abs(exact - warp)
+    assert err.max() < 1e-3, err.max()

@@ -1,8 +1,10 @@
-"""Accuracy tests for the experimental slice-warp Pallas sampler.
+"""Accuracy tests for the slice-warp Pallas sampler.
 
 Runs in Pallas interpreter mode on CPU (the TPU path is exercised by
-bench/TPU runs; see ops/slicewarp.py docstring for measured error and the
-performance status).
+bench/TPU runs). The kernel is exact bilinear within its 4-tap band (see
+ops/slicewarp.py), so tolerances here are float-roundoff, not approximation
+bounds — including on steep-curve fixtures, per-slice flip flags, and the
+whole-space both-orientations mode.
 """
 
 import numpy as np
@@ -42,8 +44,19 @@ def smooth_heatmap(rs, B, H, W, J):
     return np.clip(hm, 0, 1)
 
 
+def exact_bilinear(hm, xs, ys):
+    B, H, W, J = hm.shape
+    _, S, X, Y = xs.shape
+    grid = np.stack(
+        [xs / (W - 1) * 2 - 1, ys / (H - 1) * 2 - 1], axis=-1
+    ).reshape(B, S * X * Y, 2)
+    return np.asarray(
+        jax.vmap(grid_sample_bilinear_cmajor)(jnp.asarray(hm), jnp.asarray(grid))
+    ).reshape(B, J, S, X, Y).transpose(0, 2, 1, 3, 4)
+
+
 class TestSliceWarp:
-    def test_close_to_exact_bilinear(self, rng):
+    def test_exact_bilinear_on_shallow_curves(self, rng):
         B, H, W, J = 1, 128, 240, 4
         S, X, Y = 2, 64, 64
         hm = smooth_heatmap(rng, B, H, W, J)
@@ -56,19 +69,36 @@ class TestSliceWarp:
             xs[0, s] = (12 + 3.2 * v + 0.4 * u + 5 * s) / den
             ys[0, s] = (9 + 1.5 * u + 0.25 * v + 3 * s) / den
 
-        out = np.asarray(
-            sw.slice_warp_sample(jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys))
+        out, ok = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys)
         )
-        grid = np.stack(
-            [xs / (W - 1) * 2 - 1, ys / (H - 1) * 2 - 1], axis=-1
-        ).reshape(B, S * X * Y, 2)
-        exact = np.asarray(
-            jax.vmap(grid_sample_bilinear_cmajor)(jnp.asarray(hm), jnp.asarray(grid))
-        ).reshape(B, J, S, X, Y).transpose(0, 2, 1, 3, 4)
+        exact = exact_bilinear(hm, xs, ys)
+        assert np.asarray(ok).min() == 1.0
+        np.testing.assert_allclose(np.asarray(out), exact, atol=2e-5)
 
-        err = np.abs(out - exact)
-        assert err.max() < 5e-3, err.max()
-        assert err.mean() < 1e-4, err.mean()
+    def test_exact_on_steep_curves_with_flip(self, rng):
+        """Rows running steeper than |dy/dx|=1: flipped warp stays exact."""
+        B, H, W, J = 1, 128, 240, 3
+        S, X, Y = 1, 16, 64
+        hm = smooth_heatmap(rng, B, H, W, J)
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        den = 1.0 + 0.001 * u + 0.0006 * v
+        xs = ((40 + 0.35 * v + 1.1 * u) / den)[None, None].astype(np.float32)
+        ys = ((6 + 1.8 * v + 0.4 * u) / den)[None, None].astype(np.float32)
+
+        flip = jnp.ones((B, S), jnp.int32)
+        out, ok = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys), flip=flip
+        )
+        exact = exact_bilinear(hm, xs, ys)
+        assert np.asarray(ok).min() == 1.0
+        np.testing.assert_allclose(np.asarray(out), exact, atol=2e-5)
+
+        # without the flip, the band breaks somewhere and ok reports it
+        _, ok_noflip = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys)
+        )
+        assert np.asarray(ok_noflip).min() == 0.0
 
     def test_decreasing_curve_direction(self, rng):
         """Rows whose projected x decreases along iy must still sample right."""
@@ -79,16 +109,12 @@ class TestSliceWarp:
         xs = (200 - 2.5 * v - 0.3 * u)[None, None].astype(np.float32)
         ys = (20 + 1.2 * u + 0.2 * v)[None, None].astype(np.float32)
 
-        out = np.asarray(
-            sw.slice_warp_sample(jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys))
+        out, ok = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys)
         )
-        grid = np.stack(
-            [xs / (W - 1) * 2 - 1, ys / (H - 1) * 2 - 1], axis=-1
-        ).reshape(B, S * X * Y, 2)
-        exact = np.asarray(
-            jax.vmap(grid_sample_bilinear_cmajor)(jnp.asarray(hm), jnp.asarray(grid))
-        ).reshape(B, J, S, X, Y).transpose(0, 2, 1, 3, 4)
-        assert np.abs(out - exact).max() < 5e-3
+        exact = exact_bilinear(hm, xs, ys)
+        assert np.asarray(ok).min() == 1.0
+        np.testing.assert_allclose(np.asarray(out), exact, atol=2e-5)
 
     def test_out_of_image_taps_zero(self, rng):
         B, H, W, J = 1, 128, 240, 1
@@ -99,7 +125,60 @@ class TestSliceWarp:
         # small jitter so curve direction is defined
         xs += np.arange(Y, dtype=np.float32)[None, None, None, :] * 0.01
         ys = np.full((B, 1, X, Y), 300.0, np.float32)
-        out = np.asarray(
-            sw.slice_warp_sample(jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys))
+        out, _ = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys)
         )
-        assert np.abs(out).max() == 0.0
+        assert np.abs(np.asarray(out)).max() == 0.0
+
+    def test_non_128_heatmap_height(self, rng):
+        """Shape generality: H=32, W=64 heatmaps (small test configs)."""
+        B, H, W, J = 1, 32, 64, 2
+        S, X, Y = 1, 8, 16
+        hm = smooth_heatmap(rng, B, H, W, J)
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = (3 + 3.1 * v + 0.2 * u)[None, None].astype(np.float32)
+        ys = (4 + 0.9 * u + 0.3 * v)[None, None].astype(np.float32)
+        out, ok = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys)
+        )
+        exact = exact_bilinear(hm, xs, ys)
+        assert np.asarray(ok).min() == 1.0
+        np.testing.assert_allclose(np.asarray(out), exact, atol=2e-5)
+
+
+class TestSliceWarpVJP:
+    def test_grad_matches_exact_gather(self, rng):
+        """d(loss)/d(heatmap) through the warp kernel == through the exact
+        gather path (the backward is the exact 4-tap scatter adjoint)."""
+        B, H, W, J = 1, 32, 64, 2
+        S, X, Y = 1, 8, 16
+        hm = smooth_heatmap(rng, B, H, W, J)
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = (3 + 3.1 * v + 0.2 * u)[None, None].astype(np.float32)
+        ys = (4 + 0.9 * u + 0.3 * v)[None, None].astype(np.float32)
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+
+        def loss_warp(h):
+            out, _ = sw.slice_warp_sample(h, jnp.asarray(xs), jnp.asarray(ys))
+            return jnp.sum(out * g)
+
+        def loss_exact(h):
+            grid = jnp.stack(
+                [jnp.asarray(xs) / (W - 1) * 2 - 1,
+                 jnp.asarray(ys) / (H - 1) * 2 - 1], axis=-1
+            ).reshape(B, S * X * Y, 2)
+            out = jax.vmap(grid_sample_bilinear_cmajor)(h, grid)
+            out = out.reshape(B, J, S, X, Y).transpose(0, 2, 1, 3, 4)
+            return jnp.sum(out * g)
+
+        h = jnp.asarray(hm)
+        gw = jax.grad(loss_warp)(h)
+        ge = jax.grad(loss_exact)(h)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(ge), atol=1e-4)
+
+    def test_coords_get_zero_grads(self, rng):
+        hm = jnp.asarray(smooth_heatmap(rng, 1, 32, 64, 1))
+        xs = jnp.asarray((5 + np.mgrid[0:4, 0:8][1] * 2.0)[None, None], jnp.float32)
+        ys = jnp.asarray((5 + np.mgrid[0:4, 0:8][0] * 1.0)[None, None], jnp.float32)
+        gx = jax.grad(lambda a: jnp.sum(sw.slice_warp_sample(hm, a, ys)[0]))(xs)
+        assert float(jnp.abs(gx).max()) == 0.0
