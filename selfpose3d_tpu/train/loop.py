@@ -97,10 +97,21 @@ def train_epoch_ssv(
                 for k, m in meters.items():
                     writer.add_scalar(f"train/{k}", m.val, step)
             if cfg.DEBUG.DEBUG and output_dir:
+                from selfpose3d_tpu.train.step import make_ssv_debug_forward
                 from selfpose3d_tpu.utils.vis import save_debug_images
 
+                # prediction-bearing dump (ref: function.py:176-217):
+                # re-run a forward on this batch for heatmaps/poses/roots
+                dbg_fn = make_ssv_debug_forward(
+                    model,
+                    train_posenet_stage=epoch >= cfg.NETWORK.INIT_TRAIN_EPOCHS_ROOTNET,
+                    use_l1_stage=epoch >= cfg.TRAIN.L1_EPOCH,
+                )
+                pred2, hm3, gc = dbg_fn(
+                    state.params, state.batch_stats, b1, b2, b3, rng
+                )
                 prefix = f"{output_dir}/debug/train_{epoch}_{i}"
-                save_debug_images(cfg, b3, None, None, None, prefix)
+                save_debug_images(cfg, b3, hm3, pred2, gc, prefix)
         end = time.time()
     return state
 

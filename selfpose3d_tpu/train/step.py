@@ -130,3 +130,30 @@ def _make_inference_step(model):
         )
 
     return infer
+
+
+def make_ssv_debug_forward(model, train_posenet_stage: bool, use_l1_stage: bool):
+    """Jitted prediction-bearing forward for PRINT_FREQ debug dumps
+    (the reference's train loop renders predicted heatmaps, 3D poses, and
+    root cubes every PRINT_FREQ, ref: lib/core/function.py:176-217; the
+    train step itself only returns metrics, so debug steps re-run a
+    forward)."""
+    key = (id(model), "ssv_debug", train_posenet_stage, use_l1_stage)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
+    @jax.jit
+    def fwd(params, batch_stats, b1, b2, b3, rng):
+        pred2, hm3, gc, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            b1, b2, b3,
+            train_posenet_stage=train_posenet_stage,
+            use_l1_stage=use_l1_stage,
+            train=False,
+            method="ssv_losses",
+            rngs={"synth": rng},
+        )
+        return pred2, hm3, gc
+
+    _STEP_CACHE[key] = fwd
+    return fwd

@@ -288,3 +288,70 @@ class TestPseudoLabelPipeline:
         assert rec["joints_2d"][0].shape == (15, 2)
         # neck synthesized as shoulder midpoint: both at same fake coords
         np.testing.assert_allclose(rec["joints_2d"][0][0], [150.0, 200.0])
+
+
+class TestPseudoLabelVisualization:
+    """s6/s8 headless overlay stages (ref: s6_vis_pseudo_kpt2d.py,
+    s8_vis_compare_pseudo_kpt2d.py)."""
+
+    def _merged_json(self, tmp_path):
+        data = {
+            "images": [
+                {"id": i, "key": f"k{i}", "file_name": f"missing{i}.jpg",
+                 "width": 64, "height": 48} for i in range(3)
+            ],
+            "annotations": [
+                {"image_id": i, "id": i, "bbox": [4, 4, 30, 30], "score": 0.9,
+                 "keypoints": [float(8 + j), float(6 + j), 0.9]
+                 * 1 + [v for j2 in range(16) for v in
+                        (float(10 + j2), float(8 + j2), 0.9)]}
+                for i, j in zip(range(3), range(3))
+            ],
+        }
+        p = tmp_path / "merged.json"
+        json.dump(data, open(p, "w"))
+        return p
+
+    def test_s6_overlay_writes_images(self, tmp_path):
+        from selfpose3d_tpu.pseudo_labels.visualize import vis_pseudo_kpt2d
+
+        p = self._merged_json(tmp_path)
+        out = vis_pseudo_kpt2d(str(p), str(tmp_path), str(tmp_path / "vis"),
+                               num_samples=2)
+        assert len(out) == 2
+        import cv2
+
+        img = cv2.imread(out[0])
+        assert img is not None and img.shape == (48, 64, 3)
+        assert img.max() > 0  # something was drawn on the black canvas
+
+    def test_s8_compare_writes_composites(self, tmp_path, rng):
+        from selfpose3d_tpu.pseudo_labels.visualize import (
+            vis_compare_pseudo_kpt2d,
+        )
+
+        def mk_db(jitter):
+            recs = []
+            for i in range(2):
+                j2d = [rng.rand(15, 2).astype(np.float32) * 40 + jitter]
+                vis = [np.ones((15, 3), np.float32)]
+                recs.append({
+                    "key": f"k{i}", "image": f"missing{i}.jpg",
+                    "width": 64, "height": 48,
+                    "joints_2d": j2d, "joints_2d_vis": vis,
+                })
+            return {"db": recs}
+
+        gt_p, ps_p = tmp_path / "gt.pkl", tmp_path / "ps.pkl"
+        pickle.dump(mk_db(0.0), open(gt_p, "wb"))
+        pickle.dump(mk_db(2.0), open(ps_p, "wb"))
+        out = vis_compare_pseudo_kpt2d(
+            str(gt_p), str(ps_p), str(tmp_path), str(tmp_path / "cmp"),
+            num_samples=2,
+        )
+        assert len(out) == 2
+        import cv2
+
+        img = cv2.imread(out[0])
+        assert img is not None and img.shape == (48, 128, 3)  # side by side
+        assert img.max() > 0
