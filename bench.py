@@ -37,12 +37,11 @@ def main():
     import dataclasses
 
     cfg = _flagship_cfg(tiny=False)
-    # benchmark the production fast path: the Pallas slice-warp sampler
-    # (~3.7x over the exact-gather mode; approximation bounds documented in
-    # ops/slicewarp.py — select 'gather' for bit-exact reference sampling)
-    cfg = dataclasses.replace(
-        cfg, NETWORK=dataclasses.replace(cfg.NETWORK, SAMPLING="slicewarp")
-    )
+    # production fast path (both default): the exact-within-hosting Pallas
+    # slice-warp sampler (ops/slicewarp.py) and <=5-candidate bucketing
+    # (cfg MULTI_PERSON.CANDIDATE_BUCKETS) — PoseNet compute scales with the
+    # scene's people count exactly like the reference's per-valid-candidate
+    # python loop (ref: multi_person_posenet_ssv.py:365-383)
     model = get_model(cfg)  # bf16 compute path
     branch, _ = make_synthetic_branch(
         cfg, batch_size=BATCH, num_person=3, with_images=True

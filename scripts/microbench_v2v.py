@@ -16,11 +16,12 @@ DT = jnp.bfloat16
 key = jax.random.PRNGKey(0)
 
 def timeit(fn, *args, iters=10):
-    out = fn(*args); jax.block_until_ready(out)
+    out = fn(*args)
+    _ = float(np.asarray(out))  # scalar host sync (axon tunnel safe)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out))
     return (time.perf_counter() - t0) / iters * 1000
 
 results = {}
@@ -28,7 +29,7 @@ results = {}
 def bench(name, mod, shape):
     x = jax.random.uniform(key, shape, DT)
     vs = mod.init(key, x, False) if not isinstance(mod, V2VNet) else mod.init(key, x, train=False)
-    f = jax.jit(lambda v, a: mod.apply(v, a, False))
+    f = jax.jit(lambda v, a: jnp.sum(mod.apply(v, a, False).astype(jnp.float32)))
     results[name] = round(timeit(f, vs, x), 2)
 
 bench("front_basic_k7_15to16", Basic3DBlock(16, 7, dtype=DT), (BK, X, X, X, J))

@@ -188,6 +188,12 @@ class MultiPersonConfig:
     INITIAL_CUBE_SIZE: Tuple[int, int, int] = (24, 32, 16)
     MAX_PEOPLE_NUM: int = 10
     THRESHOLD: float = 0.1
+    # PoseNet candidate-count buckets (ascending; implicitly capped by
+    # MAX_PEOPLE_NUM). Empty = always process all MAX_PEOPLE_NUM candidates.
+    # With e.g. (4,), scenes whose valid proposals fit the first 4 slots pay
+    # 4/10 of the PoseNet sampling + V2V cost (ref behavior: python loop over
+    # valid candidates only, multi_person_posenet_ssv.py:365-383).
+    CANDIDATE_BUCKETS: Tuple[int, ...] = ()
 
 
 @dataclass

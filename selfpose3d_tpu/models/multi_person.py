@@ -85,6 +85,7 @@ class MultiPersonPoseNetSSV(nn.Module):
                 num_joints=c.NETWORK.NUM_JOINTS,
                 beta=c.NETWORK.BETA,
                 sampling=c.NETWORK.SAMPLING,
+                buckets=tuple(c.MULTI_PERSON.CANDIDATE_BUCKETS),
                 dtype=self.dtype,
             )
 
@@ -489,6 +490,7 @@ class MultiPersonPoseNet(nn.Module):
                 num_joints=c.NETWORK.NUM_JOINTS,
                 beta=c.NETWORK.BETA,
                 sampling=c.NETWORK.SAMPLING,
+                buckets=tuple(c.MULTI_PERSON.CANDIDATE_BUCKETS),
                 dtype=self.dtype,
             )
 

@@ -40,6 +40,13 @@ class PoseNet(nn.Module):
     num_joints: int = 15
     beta: float = 100.0
     sampling: str = "gather"
+    # candidate-count buckets: when set (ascending, last == MAX_PEOPLE_NUM),
+    # the candidate axis is truncated to the smallest bucket covering every
+    # valid candidate and dispatched via a lifted switch — the TPU-native
+    # equivalent of the reference's valid-candidates-only python loop
+    # (ref: multi_person_posenet_ssv.py:365-383): sampling + V2V + soft-argmax
+    # all scale with the actual people count instead of always paying K=10.
+    buckets: Tuple[int, ...] = ()
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -68,6 +75,57 @@ class PoseNet(nn.Module):
           pred:  (B, K, J, 3) world-mm joints (zeros for invalid candidates)
           valid: (B, K) float candidate mask (flag >= 0)
         """
+        K = grid_centers.shape[1]
+        buckets = tuple(b for b in self.buckets if b < K) + (K,)
+        if len(buckets) == 1:
+            return self._run(
+                heatmaps, cam, trans, orig_wh, grid_centers, hflip, train
+            )
+
+        # smallest prefix covering every valid candidate, across the batch
+        # (proposals are score-sorted, so valid ones are normally a prefix;
+        # the supervised GT-matched path can leave holes — max-index covers
+        # both)
+        flags = grid_centers[..., 3] >= 0  # (B, K)
+        idx1 = jnp.arange(1, K + 1)[None, :]
+        needed = jnp.max(jnp.where(flags, idx1, 0))
+        branch = jnp.sum(
+            (needed > jnp.asarray(buckets[:-1]))
+            .astype(jnp.int32)
+        )
+
+        def make_branch(k):
+            def run_k(mdl, hm, cam_, trans_, wh, gc, hf):
+                pred_k, valid_k = mdl._run(
+                    hm, cam_, trans_, wh, gc[:, :k], hf, train
+                )
+                pad = K - k
+                return (
+                    jnp.pad(pred_k, ((0, 0), (0, pad), (0, 0), (0, 0))),
+                    jnp.pad(valid_k, ((0, 0), (0, pad))),
+                )
+
+            return run_k
+
+        pred, valid_pref = nn.switch(
+            branch,
+            [make_branch(k) for k in buckets],
+            self, heatmaps, cam, trans, orig_wh, grid_centers, hflip,
+        )
+        # report the true validity mask (padding slots are invalid anyway)
+        valid = flags.astype(jnp.float32)
+        return pred, valid
+
+    def _run(
+        self,
+        heatmaps: jnp.ndarray,
+        cam: CameraParams,
+        trans: jnp.ndarray,
+        orig_wh: jnp.ndarray,
+        grid_centers: jnp.ndarray,
+        hflip: Optional[jnp.ndarray],
+        train: bool,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, V, H, W, J = heatmaps.shape
         K = grid_centers.shape[1]
         X, Y, Z = (int(s) for s in self.cube_size)

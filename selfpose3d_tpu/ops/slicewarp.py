@@ -104,8 +104,22 @@ def _search_steps(n: int) -> Tuple[int, ...]:
     return tuple(steps)
 
 
-def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Yp):
+def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Yp,
+                lattice_t: bool = False):
     """Warp-resample one slice against one heatmap orientation.
+
+    Column-hosted exact bilinear: every point is hosted at the image column
+    c = clip(floor(xs), 0, W-2); the binary segment search inverts the
+    (monotone) row curve so each column knows its hosted point q(c), whose
+    FOUR exact taps hm[floor(ys)+{0,1}, c+{0,1}] are fetched by plain lane
+    gathers in the column-major layout — no curve linearization, no
+    approximation band. The only per-channel layout move is ONE transpose of
+    the combined column-hosted values; a final cheap gather redistributes
+    them to point order. A point is exact iff its host column's inverse map
+    returns the point itself (``ok``); failures (sub-pixel voxel pitch along
+    the row, hosting collisions at image edges, non-monotone rows passing
+    near a camera) are reported and the value zeroed — callers run the other
+    warp orientation and/or exact-gather fallback slots (ops/unproject.py).
 
     hm_ref[0] must be (J, Wp>=pad(W), Hp>=pad(H)) with the warp-minor image
     axis (y) on lanes; xs/ys are (Xp, Yp) pixel coords in that orientation.
@@ -119,6 +133,7 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
 
     # ---- branchless binary search: rightmost knot k <= col, k in [0, Y-2]
     cols = jax.lax.broadcasted_iota(jnp.int32, (Xp, Wp), 1).astype(f32)
+    cols_i = cols.astype(jnp.int32)
     cols_m = cols * sgn
     seg = jnp.zeros((Xp, Wp), jnp.int32)
     for st in _search_steps(Y - 1):
@@ -127,75 +142,81 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
         val = _gather_lanes(xs_m, cand_c)
         seg = jnp.where((cand <= Y - 2) & (val <= cols_m), cand, seg)
 
-    # knot coordinate lookup (tables are Yp<=128 lanes)
-    x_k = _gather_lanes(xs_m, seg)
-    x_k1 = _gather_lanes(xs_m, seg + 1)
-    y_k = _gather_lanes(ys, seg)
-    y_k1 = _gather_lanes(ys, seg + 1)
+    # ---- inverse point map: q(c) = the point hosted at column c
+    host_of = lambda v: jnp.clip(jnp.floor(v), 0, W - 2).astype(jnp.int32)
+    xs_a = _gather_lanes(xs, seg)
+    xs_b = _gather_lanes(xs, jnp.minimum(seg + 1, Y - 1))
+    hit_a = host_of(xs_a) == cols_i
+    q = jnp.where(hit_a, seg, jnp.minimum(seg + 1, Y - 1))  # (Xp, Wp)
 
-    t = (cols_m - x_k) / (x_k1 - x_k + 1e-6)
-    y_hat = y_k + t * (y_k1 - y_k)  # (Xp, Wp) curve height per column
-    y_hat = jnp.clip(y_hat, -4.0, H + 3.0)  # tame extrapolated columns
-    r = jnp.floor(y_hat).astype(jnp.int32)  # 4-tap band anchor
+    # hosted point's coordinates and bilinear weights, per column
+    xs_q = jnp.where(hit_a, xs_a, xs_b)
+    ys_q = _gather_lanes(ys, q)
+    y0q = jnp.floor(ys_q)
+    vyq = (ys_q - y0q).astype(f32)
+    y0qi = y0q.astype(jnp.int32)
+    vy0m = ((y0qi >= 0) & (y0qi <= H - 1)).astype(f32)
+    vy1m = ((y0qi + 1 >= 0) & (y0qi + 1 <= H - 1)).astype(f32)
+    # distance-based column weights handle edge hosting (x0 < 0 etc.)
+    w0 = jnp.maximum(0.0, 1.0 - jnp.abs(xs_q - cols)) * (cols_i <= W - 1)
+    w1 = jnp.maximum(0.0, 1.0 - jnp.abs(xs_q - (cols + 1.0))) * (
+        cols_i + 1 <= W - 1
+    )
+    wA = w0 * (1.0 - vyq) * vy0m
+    wB = w0 * vyq * vy1m
+    wC = w1 * (1.0 - vyq) * vy0m
+    wD = w1 * vyq * vy1m
 
-    # transposed layout for pass 1: image y on lanes, columns on sublanes
+    # transposed (column-sublane, row-lane) planes, shared across channels
     pad_lanes = LANE - Xp
-    rT = jnp.pad(r.astype(f32).T, ((0, 0), (0, pad_lanes))).astype(jnp.int32)
+    def tpose(a):
+        return jnp.pad(a.T, ((0, 0), (0, pad_lanes)))
 
-    # ---- per-point taps (shared across channels)
-    x0f = jnp.floor(xs)
-    ux = (xs - x0f).astype(f32)
-    x0 = x0f.astype(jnp.int32)
-    y0f = jnp.floor(ys)
-    vy = (ys - y0f).astype(f32)
-    y0 = y0f.astype(jnp.int32)
+    y0T_raw = tpose(y0q.astype(f32))
+    idx0T = jnp.clip(y0T_raw, 0, H - 1).astype(jnp.int32)
+    idx1T = jnp.clip(y0T_raw + 1.0, 0, H - 1).astype(jnp.int32)
+    wAT = tpose(wA)
+    wBT = tpose(wB)
+    wCT = tpose(wC)
+    wDT = tpose(wD)
 
-    vx0 = ((x0 >= 0) & (x0 <= W - 1)).astype(f32)
-    vx1 = ((x0 + 1 >= 0) & (x0 + 1 <= W - 1)).astype(f32)
-    vy0 = ((y0 >= 0) & (y0 <= H - 1)).astype(f32)
-    vy1 = ((y0 + 1 >= 0) & (y0 + 1 <= H - 1)).astype(f32)
-    x0c = jnp.clip(x0, 0, W - 1)
-    x1c = jnp.clip(x0 + 1, 0, W - 1)
+    # ---- per-point host columns + exactness mask
+    xhost = host_of(xs)  # (Xp, Yp)
+    q_at_host = _gather_lanes(q.astype(f32), xhost).astype(jnp.int32)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (Xp, Yp), 1)
+    okq = q_at_host == lane_p
+    # points contributing nothing are fine regardless of hosting
+    y0p = jnp.floor(ys).astype(jnp.int32)
+    dead = (
+        (xs <= -1.0) | (xs >= W) | ((y0p > H - 1) | (y0p + 1 < 0))
+    )
 
-    r_f = r.astype(f32)  # gather row-anchor at the point's columns
-    r0 = _gather_lanes(r_f, x0c).astype(jnp.int32)
-    r1 = _gather_lanes(r_f, x1c).astype(jnp.int32)
-    d0 = y0 - r0
-    d1 = y0 - r1
-    s0 = jnp.clip(d0, -1, 1)  # tap-pair selector within the band
-    s1 = jnp.clip(d1, -1, 1)
-    # band held for both columns (or the point contributes nothing anyway)
-    dead = (vx0 + vx1) * (vy0 + vy1) == 0.0
-    ok = ((d0 == s0) & (d1 == s1)) | dead
-    ok_ref[0, 0, si] = ok.astype(f32)
+    def emit_pts(a):
+        """Write a per-point (Xp, Yp) plane back in the caller's lattice
+        order (transposing the valid square block when the branch swapped
+        the lattice axes)."""
+        if not lattice_t:
+            return a
+        sq = a[:X, :Y].T  # slices are square (X == Y)
+        return jnp.pad(sq, ((0, Xp - X), (0, Yp - Y)))
 
-    w_lo = (1.0 - vy) * vy0
-    w_hi = vy * vy1
-    wx0 = (1.0 - ux) * vx0
-    wx1 = ux * vx1
-
-    def sel(s, a, b, c):
-        return jnp.where(s == -1, a, jnp.where(s == 0, b, c))
+    ok_ref[0, 0, si] = emit_pts((okq | dead).astype(f32))
+    live = okq & ~dead
 
     def channel_body(ch, carry):
-        hm_c = hm_ref[0, ch]  # (Wp, Hp): warp-minor axis on lanes
-        T = []
-        for j in range(4):
-            idx = jnp.clip(rT + (j - 1), 0, H - 1)
-            TjT = _gather_lanes(hm_c, idx)  # (Wp, 128)
-            T.append(TjT.T[:Xp])  # (Xp, Wp)
-
-        G0 = [_gather_lanes(Tj, x0c) for Tj in T]  # 4 x (Xp, Yp)
-        low0 = sel(s0, G0[0], G0[1], G0[2])
-        high0 = sel(s0, G0[1], G0[2], G0[3])
-        F0 = low0 * w_lo + high0 * w_hi
-
-        G1 = [_gather_lanes(Tj, x1c) for Tj in T]
-        low1 = sel(s1, G1[0], G1[1], G1[2])
-        high1 = sel(s1, G1[1], G1[2], G1[3])
-        F1 = low1 * w_lo + high1 * w_hi
-
-        out_ref[0, 0, si, ch] = F0 * wx0 + F1 * wx1
+        hm_c = hm_ref[0, ch]  # (Wp, Hp): column-major, y on lanes
+        # next image column's data aligned to the hosting column's rows
+        hm_cn = jnp.concatenate(
+            [hm_c[1:], jnp.zeros((1, hm_c.shape[1]), f32)], axis=0
+        )
+        T0 = _gather_lanes(hm_c, idx0T)  # (Wp, 128)
+        T1 = _gather_lanes(hm_c, idx1T)
+        T0b = _gather_lanes(hm_cn, idx0T)
+        T1b = _gather_lanes(hm_cn, idx1T)
+        val = T0 * wAT + T1 * wBT + T0b * wCT + T1b * wDT  # (Wp, 128)
+        valT = val.T[:Xp]  # (Xp, Wp) — the single per-channel transpose
+        outv = _gather_lanes(valT, xhost)  # (Xp, Yp)
+        out_ref[0, 0, si, ch] = emit_pts(jnp.where(live, outv, 0.0))
         return carry
 
     jax.lax.fori_loop(0, J, channel_body, 0)
@@ -205,26 +226,47 @@ def _slice_warp_kernel(
     flip_ref, hm_ref, hms_ref, xs_ref, ys_ref, out_ref, ok_ref,
     *, H, W, X, Y, J, SB, Wp, Xp, Yp, Wsp,
 ):
-    """One (batch, slice-block) program; per-slice warp orientation."""
+    """One (batch, slice-block) program; 4-way per-slice variant selection:
+    bit 0 = hosting image axis (x or y — the projected pitch along the row
+    must be >= ~1 px), bit 1 = lattice axis forming the rows (voxel-x or
+    voxel-y — a voxel row pointing at the camera is foreshortened in BOTH
+    image axes, but its perpendicular lattice axis never is)."""
     sblk = pl.program_id(1)  # read outside cond/fori (interpret-mode limit)
+    square = X == Y
 
     def slice_body(si, _):
         xs = xs_ref[0, 0, si]  # (Xp, Yp)
         ys = ys_ref[0, 0, si]
 
-        def normal():
-            _warp_slice(
-                hm_ref, xs, ys, out_ref, ok_ref, si,
-                H=H, W=W, X=X, Y=Y, J=J, Wp=Wp, Xp=Xp, Yp=Yp,
-            )
+        def lat_t(a):  # swap lattice axes (square valid block)
+            sq = a[:X, :Y].T
+            return jnp.pad(sq, ((0, Xp - X), (0, Yp - Y)))
 
-        def flipped():  # swap image axes: slope -> 1/slope
-            _warp_slice(
-                hms_ref, ys, xs, out_ref, ok_ref, si,
-                H=W, W=H, X=X, Y=Y, J=J, Wp=Wsp, Xp=Xp, Yp=Yp,
-            )
+        def mk(img_flip, lt):
+            def br():
+                xs_, ys_ = (lat_t(xs), lat_t(ys)) if lt else (xs, ys)
+                if img_flip:
+                    _warp_slice(
+                        hms_ref, ys_, xs_, out_ref, ok_ref, si,
+                        H=W, W=H, X=X, Y=Y, J=J, Wp=Wsp, Xp=Xp, Yp=Yp,
+                        lattice_t=lt,
+                    )
+                else:
+                    _warp_slice(
+                        hm_ref, xs_, ys_, out_ref, ok_ref, si,
+                        H=H, W=W, X=X, Y=Y, J=J, Wp=Wp, Xp=Xp, Yp=Yp,
+                        lattice_t=lt,
+                    )
+            return br
 
-        jax.lax.cond(flip_ref[0, sblk, si] != 0, flipped, normal)
+        flag = flip_ref[0, sblk, si]
+        if square:
+            jax.lax.switch(
+                jnp.clip(flag, 0, 3),
+                [mk(0, 0), mk(1, 0), mk(0, 1), mk(1, 1)],
+            )
+        else:
+            jax.lax.cond(flag != 0, mk(1, 0), mk(0, 0))
         return 0
 
     jax.lax.fori_loop(0, SB, slice_body, 0)
@@ -268,12 +310,15 @@ def _slice_warp_fwd(heatmap, xs, ys, flip):
     out = _slice_warp_impl(heatmap, xs, ys, flip)
     # zero-size sentinel carries the heatmap's static shape/dtype to bwd
     sentinel = jnp.zeros((0,) + heatmap.shape[1:], heatmap.dtype)
-    return out, (sentinel, xs, ys)
+    return out, (sentinel, xs, ys, out[1])
 
 
 def _slice_warp_bwd(res, ct):
-    sentinel, xs, ys = res
+    sentinel, xs, ys, ok = res
     g, _ = ct  # ok mask is non-differentiable
+    # hosting-failed points emit zeros in the forward, so they carry no
+    # gradient to the heatmap either
+    g = g * ok[:, :, None, :, :]
     _, H, W, J = sentinel.shape
     B = xs.shape[0]
     hm_dtype = sentinel.dtype
@@ -334,8 +379,9 @@ def _slice_warp_impl(
       xs, ys:  (B, S, X, Y) sample coords in heatmap pixels (align-corners
                convention: integer coords hit texel centers). X <= 128,
                2 <= Y <= 128.
-      flip:    optional (B, S) int/bool — warp each slice with image axes
-               swapped (for slices whose rows run steeper than |dy/dx| ~ 1).
+      flip:    optional (B, S) int in [0, 3] — per-slice variant: bit 0
+               swaps the hosting image axis, bit 1 swaps the lattice row
+               axis (square slices only; clipped to [0, 1] otherwise).
     Returns:
       out: (B, S, J, X, Y) channel-major samples (zero where taps fall
            outside the image).

@@ -255,18 +255,16 @@ def sample_and_aggregate_slicewarp(
       bounding:    (B, V, N)
       cube_size:   static (X, Y, Z) of each cube.
       num_cubes:   static number of stacked cubes (PoseNet candidates).
-      mode:        'both' — run both warp orientations and select per point
-                   where the tap band held (the kernel is cheap enough that
-                   two passes beat any compaction machinery; right for
-                   per-candidate PoseNet cubes, where band failure in both
-                   orientations would need a camera inside the cube);
-                   'both_fix' — additionally route points whose band failed
-                   in both orientations through exact-gather fallback slots
-                   (needed for the whole-space RootNet grid, whose rows can
-                   pass arbitrarily close to cameras and project
-                   non-monotonically); 'flags' — single pass with per-slice
-                   orientation flags (fastest, small residual error near the
-                   orientation threshold — not used by default).
+      mode:        'flags' (alias 'both') — single pass with 4-way per-slice
+                   variant flags (hosting image axis x lattice row axis,
+                   chosen to maximize the hosting pitch; see
+                   ops/slicewarp.py). 'flags_fix' (alias 'both_fix') —
+                   additionally route points whose inverse hosting failed
+                   (sub-pixel pitch, collisions, non-monotone rows passing
+                   near a camera) through exact-gather fallback slots —
+                   needed for the whole-space RootNet grid; the top-k
+                   compaction costs a sort over N, so it is reserved for
+                   small grids.
     """
     from selfpose3d_tpu.ops.slicewarp import slice_warp_sample
 
@@ -291,34 +289,31 @@ def sample_and_aggregate_slicewarp(
     ys = to_slices(py)
     bnd = to_slices(bounding)
 
-    # per-slice warp orientation: warp along the shallower image axis
-    # (slope -> 1/slope when flipped); a projected voxel lattice cannot be
-    # steep in both image axes at once
-    dx = jnp.abs(jnp.diff(xs, axis=-1))
-    dy = jnp.abs(jnp.diff(ys, axis=-1))
-    steep = jnp.mean((dy > dx).astype(jnp.float32), axis=(3, 4))  # (B, V, S)
-    flips = (steep > 0.5).astype(jnp.int32)
+    # per-slice variant flags: maximize the hosting pitch over
+    # (hosting image axis) x (lattice row axis); square slices only for the
+    # lattice-transposed variants
+    pitches = [
+        jnp.mean(jnp.abs(jnp.diff(xs, axis=-1)), axis=(3, 4)),  # rows lat-y
+        jnp.mean(jnp.abs(jnp.diff(ys, axis=-1)), axis=(3, 4)),
+    ]
+    if X == Y:
+        pitches += [
+            jnp.mean(jnp.abs(jnp.diff(xs, axis=-2)), axis=(3, 4)),  # lat-x
+            jnp.mean(jnp.abs(jnp.diff(ys, axis=-2)), axis=(3, 4)),
+        ]
+    flips = jnp.argmax(jnp.stack(pitches), axis=0).astype(jnp.int32)  # (B,V,S)
+
+    fix = mode in ("both_fix", "flags_fix")
 
     def step(acc, view):
         wsum, bsum = acc
         hm, x_v, y_v, b_v, flip_v = view
-        if mode in ("both", "both_fix"):
-            samp_a, ok_a = slice_warp_sample(hm, x_v, y_v)
-            samp_b, ok_b = slice_warp_sample(
-                hm, x_v, y_v, flip=jnp.ones((B, S), jnp.int32)
-            )
-            sel = ok_a[:, :, None, :, :]
-            samp = samp_a * sel + samp_b * (1.0 - sel)
-            if mode == "both_fix":
-                # points whose band held in neither orientation (rows
-                # passing near a camera center project non-monotonically)
-                # get an exact gather through a fixed budget of fallback
-                # slots; the top-k compaction costs a sort over N, so this
-                # is reserved for the (small) whole-space RootNet grid
-                ok = jnp.maximum(ok_a, ok_b)
-                samp = _exact_fix_failed(samp, ok, hm, x_v, y_v)
-        else:
-            samp, _ = slice_warp_sample(hm, x_v, y_v, flip=flip_v)
+        samp, ok = slice_warp_sample(hm, x_v, y_v, flip=flip_v)
+        if fix:
+            # points whose hosting failed (sub-pixel pitch, collisions,
+            # non-monotone rows passing near a camera) get an exact gather
+            # through a fixed budget of fallback slots
+            samp = _exact_fix_failed(samp, ok, hm, x_v, y_v)
         return (
             wsum + samp * b_v[:, :, None, :, :],
             bsum + b_v,

@@ -1,0 +1,111 @@
+"""Candidate-count bucketing: truncating the candidate axis to the smallest
+bucket covering every valid proposal must not change any output (the
+TPU-native analogue of the reference's valid-candidates-only python loop,
+ref: multi_person_posenet_ssv.py:365-383)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+from selfpose3d_tpu.models.pose_net import PoseNet
+
+from tests.test_multi_person import small_cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    branch, _ = make_synthetic_branch(cfg, batch_size=2, with_images=False)
+    V = cfg.DATASET.CAMERA_NUM
+    J = cfg.NETWORK.NUM_JOINTS
+    hm_w, hm_h = cfg.NETWORK.HEATMAP_SIZE
+    rng = np.random.RandomState(0)
+    heatmaps = jnp.asarray(rng.rand(2, V, hm_h, hm_w, J), jnp.float32)
+
+    K = 8
+    gc = np.zeros((2, K, 5), np.float32)
+    gc[..., 3] = -1.0
+    gc[0, :2, :3] = [[100.0, -400.0, 900.0], [-500.0, 0.0, 800.0]]
+    gc[0, :2, 3] = 0.0
+    gc[1, :3, :3] = [[0.0, 0.0, 850.0], [300.0, -200.0, 900.0], [-100.0, 100.0, 800.0]]
+    gc[1, :3, 3] = 0.0
+    gc = jnp.asarray(gc)
+
+    def mk(buckets):
+        return PoseNet(
+            cube_size=tuple(cfg.PICT_STRUCT.CUBE_SIZE),
+            image_wh=tuple(cfg.NETWORK.IMAGE_SIZE),
+            num_joints=J,
+            buckets=buckets,
+        )
+
+    base = mk(())
+    variables = base.init(
+        jax.random.PRNGKey(0), heatmaps, branch.cam, branch.trans,
+        branch.orig_wh, gc,
+    )
+    return branch, heatmaps, gc, mk, variables
+
+
+class TestCandidateBuckets:
+    def test_bucketed_matches_full(self, setup):
+        branch, hm, gc, mk, variables = setup
+        full = mk(())
+        buck = mk((4,))
+        p0, v0 = full.apply(variables, hm, branch.cam, branch.trans,
+                            branch.orig_wh, gc)
+        p1, v1 = buck.apply(variables, hm, branch.cam, branch.trans,
+                            branch.orig_wh, gc)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+
+    def test_small_bucket_selected_under_jit(self, setup):
+        """Valid count 3 -> the 4-bucket branch runs; outputs match full."""
+        branch, hm, gc, mk, variables = setup
+        buck = mk((4,))
+
+        @jax.jit
+        def run(gc_):
+            return buck.apply(variables, hm, branch.cam, branch.trans,
+                              branch.orig_wh, gc_)
+
+        p1, _ = run(gc)
+        full = mk(())
+        p0, _ = full.apply(variables, hm, branch.cam, branch.trans,
+                           branch.orig_wh, gc)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_overflow_uses_full_branch(self, setup):
+        """6 valid candidates overflow the 4-bucket -> full-K branch."""
+        branch, hm, gc, mk, variables = setup
+        gc6 = gc.at[0, :6, 3].set(0.0)
+        gc6 = gc6.at[0, 2:6, 0].set(jnp.asarray([200.0, -300.0, 400.0, 50.0]))
+        buck = mk((4,))
+        full = mk(())
+        p1, _ = buck.apply(variables, hm, branch.cam, branch.trans,
+                           branch.orig_wh, gc6)
+        p0, _ = full.apply(variables, hm, branch.cam, branch.trans,
+                           branch.orig_wh, gc6)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_train_mode_with_masked_bn(self, setup):
+        """Bucketed train-mode run: BN stats equal the full run's (masked
+        stats only see valid candidates either way)."""
+        branch, hm, gc, mk, variables = setup
+        buck = mk((4,))
+        full = mk(())
+        (_, _), st1 = buck.apply(
+            variables, hm, branch.cam, branch.trans, branch.orig_wh, gc,
+            train=True, mutable=["batch_stats"],
+        )
+        (_, _), st0 = full.apply(
+            variables, hm, branch.cam, branch.trans, branch.orig_wh, gc,
+            train=True, mutable=["batch_stats"],
+        )
+        for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st0)):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
