@@ -8,15 +8,16 @@ reports frames (5-view frame sets) per second per chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no throughput numbers
-(BASELINE.md). The denominator is an engineering estimate of the PyTorch
-reference's A100 inference throughput (research code, python-loop views and
-candidates): ~8 frame-sets/s. The north-star target is 2x that per chip.
+(BASELINE.md). The denominator is derived in BASELINE_DERIVATION.md from a
+measured CPU run of the composed torch reference pipeline, FLOP scaling to
+flagship shapes, and a launch-bound CPU->A100 factor: ~8 frame-sets/s
+(uncertainty ~+-2x). The north-star target is 2x that per chip.
 """
 
 import json
 import time
 
-A100_EST_FPS = 8.0  # estimated torch reference on one A100 (no published number)
+A100_EST_FPS = 8.0  # torch reference on one A100 — see BASELINE_DERIVATION.md
 BATCH = 4
 WARMUP = 3
 ITERS = 10
@@ -71,11 +72,19 @@ def main():
         out = infer(params, stats, branch)
         jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = infer(params, stats, branch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # xprof capture: SP3D_PROFILE=/path dumps a jax.profiler trace of the
+    # timed region for TensorBoard/xprof analysis
+    import contextlib
+    import os
+
+    prof_dir = os.environ.get("SP3D_PROFILE", "")
+    ctx = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = infer(params, stats, branch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt
     print(

@@ -127,8 +127,16 @@ class PanopticSSVDataset(PanopticDataset):
                         image = self._randaug(image, rs)
                     image = image.astype(np.float32) / 255.0
 
-            joints = [j.copy() for j in rec["joints_2d"]][: self.max_people]
-            joints_vis = [v.copy() for v in rec["joints_2d_vis"]][: self.max_people]
+            joints = [
+                np.asarray(j, np.float32)[:, :2].copy()
+                for j in rec["joints_2d"]
+            ][: self.max_people]
+            # released shelf/campus mmpose pickles carry (J, 3) visibility
+            # columns; panoptic pickles carry (J, 2) — normalize to 2
+            joints_vis = [
+                np.asarray(v, np.float32)[:, :2].copy()
+                for v in rec["joints_2d_vis"]
+            ][: self.max_people]
             nposes = len(joints)
             for n in range(nposes):
                 for i in range(len(joints[n])):

@@ -70,9 +70,21 @@ def train_epoch_ssv(
         drop_last=True,
     )
 
+    # xprof: SP3D_PROFILE=/path captures a jax.profiler trace of steps
+    # [2, 2+SP3D_PROFILE_STEPS) of epoch 0 for TensorBoard/xprof analysis
+    import os
+
+    prof_dir = os.environ.get("SP3D_PROFILE", "")
+    prof_steps = int(os.environ.get("SP3D_PROFILE_STEPS", "3"))
+
     end = time.time()
     for i, (b1, b2, b3) in enumerate(loader):
         data_time.update(time.time() - end)
+        if prof_dir and epoch == 0 and i == 2:
+            jax.profiler.start_trace(prof_dir)
+        if prof_dir and epoch == 0 and i == 2 + prof_steps:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
         if mesh is not None:
             b1, b2, b3 = (shard_batch(b, mesh) for b in (b1, b2, b3))
         state, metrics = step_fn(state, b1, b2, b3, rng)

@@ -355,3 +355,73 @@ class TestPseudoLabelVisualization:
         img = cv2.imread(out[0])
         assert img is not None and img.shape == (48, 128, 3)  # side by side
         assert img.max() > 0
+
+
+class TestShelfCampusSSV:
+    """Exercise the shelf/campus SSL dataset against a fabricated
+    *_mmpose.pkl + calibration json in the reference's released schema
+    (ref: lib/dataset/shelf_ssv.py:132-160,280-307 — per-view records with
+    variable person counts and 14..17-joint 2D predictions)."""
+
+    def _fabricate(self, tmp_path, J=14, V=3, frames=4):
+        rs = np.random.RandomState(0)
+        db = []
+        for f in range(frames):
+            for v in range(V):
+                npersons = 1 + (f + v) % 3
+                db.append({
+                    "key": f"shelf_{f}",
+                    "image": f"Camera{v}/img_{f:06d}.png",
+                    "joints_2d": [
+                        (rs.rand(J, 2) * [700, 500] + 100).astype(np.float64)
+                        for _ in range(npersons)
+                    ],
+                    "joints_2d_vis": [
+                        np.ones((J, 3), np.float64) for _ in range(npersons)
+                    ],
+                })
+        pickle.dump({"db": db}, open(tmp_path / "shelf_mmpose.pkl", "wb"))
+        calib = {
+            str(v): {
+                "R": np.eye(3).tolist(),
+                "T": [[100.0 * v], [0.0], [0.0]],
+                "fx": 1000.0, "fy": 1000.0, "cx": 512.0, "cy": 384.0,
+                "k": [[0.0], [0.0], [0.0]], "p": [[0.0], [0.0]],
+            }
+            for v in range(V)
+        }
+        json.dump(calib, open(tmp_path / "calibration_shelf.json", "w"))
+
+    def test_get_ssv_frame_from_mmpose_schema(self, tmp_path):
+        from selfpose3d_tpu.config import load_config
+        from selfpose3d_tpu.data.panoptic_ssv import ShelfCampusSSVDataset
+
+        J, V = 14, 3
+        self._fabricate(tmp_path, J=J, V=V)
+        cfg = load_config(overrides={
+            "DATA_DIR": str(tmp_path),
+            "NETWORK": {
+                "NUM_JOINTS": J, "IMAGE_SIZE": [800, 608],
+                "HEATMAP_SIZE": [200, 152], "IMAGE_SIZE_ORIG": [1032, 776],
+                "SIGMA": 3,
+            },
+            "DATASET": {
+                "ROOT": "", "CAMERA_NUM": V, "CAMERA_NUM_TOTAL": V,
+                "CAMERAS": list(range(V)), "ROOTIDX": 2,
+                "ROT_FACTOR1": 20.0, "ROT_FACTOR2": 20.0,
+                "SCALE_FACTOR1": 0.2, "SCALE_FACTOR2": 0.2,
+            },
+            "MULTI_PERSON": {"MAX_PEOPLE_NUM": 5},
+        })
+        ds = ShelfCampusSSVDataset(cfg, "shelf")
+        assert len(ds) == 4
+        b1, b2, b3 = ds.get_ssv_frame(1, seed=3, load_images=False)
+        for b in (b1, b2, b3):  # per-view item lists
+            assert len(b) == V
+            for item in b:
+                assert item["target_2d"].shape == (152, 200, J)
+                assert item["joints"].shape == (5, J, 2)
+                assert np.isfinite(item["trans"]).all()
+                assert item["num_person"] >= 1
+        # the two augmented branches differ
+        assert not np.allclose(b1[0]["trans"], b2[0]["trans"])
