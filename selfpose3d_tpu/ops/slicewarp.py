@@ -192,13 +192,13 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
     )
 
     def emit_pts(a):
-        """Write a per-point (Xp, Yp) plane back in the caller's lattice
-        order (transposing the valid square block when the branch swapped
-        the lattice axes)."""
+        """Write a per-point plane back in the caller's lattice order as an
+        (Xp, Y) block (no lane padding in HBM), transposing the valid square
+        block when the branch swapped the lattice axes."""
         if not lattice_t:
-            return a
+            return a[:, :Y]
         sq = a[:X, :Y].T  # slices are square (X == Y)
-        return jnp.pad(sq, ((0, Xp - X), (0, Yp - Y)))
+        return jnp.pad(sq, ((0, Xp - X), (0, 0)))
 
     ok_ref[0, 0, si] = emit_pts((okq | dead).astype(f32))
     live = okq & ~dead
@@ -421,8 +421,8 @@ def _slice_warp_impl(
     out, ok = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S // SB, SB, J, Xp, Yp), jnp.float32),
-            jax.ShapeDtypeStruct((B, S // SB, SB, Xp, Yp), jnp.float32),
+            jax.ShapeDtypeStruct((B, S // SB, SB, J, Xp, Y), jnp.float32),
+            jax.ShapeDtypeStruct((B, S // SB, SB, Xp, Y), jnp.float32),
         ),
         grid=(B, S // SB),
         in_specs=[
@@ -449,11 +449,11 @@ def _slice_warp_impl(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, SB, J, Xp, Yp), lambda b, s: (b, s, 0, 0, 0, 0),
+                (1, 1, SB, J, Xp, Y), lambda b, s: (b, s, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, SB, Xp, Yp), lambda b, s: (b, s, 0, 0, 0),
+                (1, 1, SB, Xp, Y), lambda b, s: (b, s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -461,6 +461,6 @@ def _slice_warp_impl(
             vmem_limit_bytes=28 * 1024 * 1024,
         ),
     )(flip, hm_t, hm_s, xs_p, ys_p)
-    out = out.reshape(B, S, J, Xp, Yp)[:, :, :, :X, :Y]
-    ok = ok.reshape(B, S, Xp, Yp)[:, :, :X, :Y]
+    out = out.reshape(B, S, J, Xp, Y)[:, :, :, :X]
+    ok = ok.reshape(B, S, Xp, Y)[:, :, :X]
     return out, ok

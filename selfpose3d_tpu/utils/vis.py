@@ -12,6 +12,7 @@ import math
 import os
 from typing import Optional, Sequence
 
+import jax
 import numpy as np
 
 PANOPTIC_LIMBS = [
@@ -171,3 +172,80 @@ def save_debug_images(
         )
     if cfg.DEBUG.SAVE_3D_ROOTS and grid_centers is not None:
         save_3d_roots(np.asarray(grid_centers)[0], f"{prefix}_3d_roots.png")
+    if (
+        cfg.DEBUG.SAVE_BATCH_IMAGES_PRED
+        and pred_3d is not None
+        and branch.views is not None
+    ):
+        save_multiview_composite(
+            cfg, branch, pred_3d, f"{prefix}_views_pred.jpg"
+        )
+
+
+def save_multiview_composite(
+    cfg,
+    branch,
+    pred_3d: np.ndarray,
+    file_name: str,
+    sample: int = 0,
+):
+    """All-camera composite: predicted 3D poses projected into every view and
+    drawn over the (denormalized) input images, tiled into one grid — the
+    headless equivalent of the reference's vedo offscreen 5-camera render
+    (ref: lib/utils/vis.py:189-357).
+
+    Args:
+      branch: AugBranch with views (B, V, H, W, 3), cam, trans.
+      pred_3d: (B, K, J, >=4) predicted poses with validity in col 3.
+    """
+    import cv2
+
+    from selfpose3d_tpu.data.skeleton import PANOPTIC_LIMBS
+    from selfpose3d_tpu.geometry.cameras import project_points_with_trans
+    from selfpose3d_tpu.pseudo_labels.visualize import (
+        _PERSON_COLORS,
+        draw_skeleton_2d,
+    )
+
+    views = branch.views
+    if views is None or pred_3d is None:
+        return
+    views = np.asarray(views)
+    b = sample
+    B, V, H, W, _ = views.shape
+    pred = np.asarray(pred_3d)[b]  # (K, J, C)
+    K, J = pred.shape[:2]
+
+    import jax.numpy as jnp
+
+    kps = np.asarray(
+        project_points_with_trans(
+            jnp.asarray(pred[None, None, :, :, :3].reshape(1, 1, K * J, 3)),
+            jax.tree_util.tree_map(lambda a: a[b : b + 1], branch.cam),
+            jnp.asarray(np.asarray(branch.trans)[b : b + 1]),
+        )
+    ).reshape(V, K, J, 2)
+
+    panels = []
+    for v in range(V):
+        img = views[b, v]
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-6) * 255
+        img = np.ascontiguousarray(img.astype(np.uint8))
+        for n in range(K):
+            if pred.shape[-1] > 3 and pred[n, 0, 3] < 0:
+                continue
+            pts = np.concatenate(
+                [kps[v, n], np.ones((J, 1), np.float32)], axis=1
+            )
+            draw_skeleton_2d(
+                img, pts, PANOPTIC_LIMBS,
+                _PERSON_COLORS[n % len(_PERSON_COLORS)],
+            )
+        panels.append(img)
+    cols = min(3, V)
+    rows = (V + cols - 1) // cols
+    grid = np.zeros((rows * H, cols * W, 3), np.uint8)
+    for v, p in enumerate(panels):
+        r, c = divmod(v, cols)
+        grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = p
+    cv2.imwrite(file_name, grid)

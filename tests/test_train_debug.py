@@ -24,6 +24,7 @@ def test_debug_dumps_carry_predictions(tmp_path):
         DEBUG={
             "DEBUG": True,
             "SAVE_BATCH_IMAGES_GT": True,
+            "SAVE_BATCH_IMAGES_PRED": True,
             "SAVE_HEATMAPS_PRED": True,
             "SAVE_3D_POSES": True,
             "SAVE_3D_ROOTS": True,
@@ -49,3 +50,5 @@ def test_debug_dumps_carry_predictions(tmp_path):
     assert any("hm_pred" in f for f in dumped), dumped
     assert any("3d_poses" in f for f in dumped), dumped
     assert any("3d_roots" in f for f in dumped), dumped
+    # all-camera composite with projected predicted skeletons
+    assert any("views_pred" in f for f in dumped), dumped
