@@ -18,7 +18,7 @@ import json
 import time
 
 A100_EST_FPS = 8.0  # torch reference on one A100 — see BASELINE_DERIVATION.md
-BATCH = int(__import__("os").environ.get("SP3D_BENCH_BATCH", "4"))
+BATCH = int(__import__("os").environ.get("SP3D_BENCH_BATCH", "8"))
 WARMUP = 3
 ITERS = 10
 

@@ -152,9 +152,9 @@ class PoseNet(nn.Module):
         if self.sampling == "slicewarp" and slicewarp_supported(heatmaps, self.cube_size):
             feats = sample_and_aggregate_slicewarp(
                 heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K,
-                mode="both",  # per-candidate cubes: both orientations, no
-                # sort-based fallback (band can only fail in both when a
-                # camera sits inside the person cube)
+                mode="flags",  # per-slice orientation/lattice selection
+                # dtype left f32: bf16 output cast measured net-negative
+                # (Mosaic lacks 16-bit gathers, so tables are f32 anyway)
             )  # (B, J, K*N)
         else:
             feats = sample_and_aggregate_cmajor(

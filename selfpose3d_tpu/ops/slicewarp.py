@@ -78,6 +78,10 @@ def _gather_128(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     that is a multiple of 128 (processed one vreg-block at a time)."""
     R, C = idx.shape
     assert tbl.shape == (R, LANE)
+    if tbl.dtype.itemsize == 2:
+        # Mosaic's dynamic_gather wants index/result bitwidths to match;
+        # lane indices are < 256 so int16 is lossless
+        idx = idx.astype(jnp.int16)
     if C == LANE:
         return jnp.take_along_axis(tbl, idx, axis=1, mode="promise_in_bounds")
     assert C % LANE == 0
@@ -175,10 +179,11 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
     y0T_raw = tpose(y0q.astype(f32))
     idx0T = jnp.clip(y0T_raw, 0, H - 1).astype(jnp.int32)
     idx1T = jnp.clip(y0T_raw + 1.0, 0, H - 1).astype(jnp.int32)
-    wAT = tpose(wA)
-    wBT = tpose(wB)
-    wCT = tpose(wC)
-    wDT = tpose(wD)
+    dt = hm_ref.dtype  # table/value precision (bf16 halves every vreg)
+    wAT = tpose(wA).astype(dt)
+    wBT = tpose(wB).astype(dt)
+    wCT = tpose(wC).astype(dt)
+    wDT = tpose(wD).astype(dt)
 
     # ---- per-point host columns + exactness mask
     xhost = host_of(xs)  # (Xp, Yp)
@@ -207,7 +212,7 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
         hm_c = hm_ref[0, ch]  # (Wp, Hp): column-major, y on lanes
         # next image column's data aligned to the hosting column's rows
         hm_cn = jnp.concatenate(
-            [hm_c[1:], jnp.zeros((1, hm_c.shape[1]), f32)], axis=0
+            [hm_c[1:], jnp.zeros((1, hm_c.shape[1]), dt)], axis=0
         )
         T0 = _gather_lanes(hm_c, idx0T)  # (Wp, 128)
         T1 = _gather_lanes(hm_c, idx1T)
@@ -216,7 +221,9 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
         val = T0 * wAT + T1 * wBT + T0b * wCT + T1b * wDT  # (Wp, 128)
         valT = val.T[:Xp]  # (Xp, Wp) — the single per-channel transpose
         outv = _gather_lanes(valT, xhost)  # (Xp, Yp)
-        out_ref[0, 0, si, ch] = emit_pts(jnp.where(live, outv, 0.0))
+        out_ref[0, 0, si, ch] = emit_pts(
+            jnp.where(live, outv, jnp.zeros_like(outv))
+        )
         return carry
 
     jax.lax.fori_loop(0, J, channel_body, 0)
@@ -284,8 +291,16 @@ def slice_warp_sample(
     xs: jnp.ndarray,
     ys: jnp.ndarray,
     flip: jnp.ndarray = None,
+    table_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable wrapper: Pallas forward + exact-adjoint backward.
+
+    ``table_dtype`` sets the OUTPUT precision (bf16 halves the HBM write
+    and downstream reshape traffic; the V2V consumer quantizes to bf16
+    anyway, so this adds no error class the model doesn't already have).
+    Kernel-internal tables stay f32: Mosaic's dynamic_gather does not lower
+    for 16-bit operands (probed: i16/i32/u16 indices all fail to compile),
+    so true bf16 tables wait on a Mosaic feature.
 
     The backward w.r.t. the heatmap is the exact adjoint of bilinear
     sampling (4-tap scatter-add, matching the gather path's autodiff).
@@ -298,7 +313,10 @@ def slice_warp_sample(
     B, S = xs.shape[0], xs.shape[1]
     if flip is None:
         flip = jnp.zeros((B, S), jnp.int32)
-    return _slice_warp_vjp(heatmap, xs, ys, flip)
+    out, ok = _slice_warp_vjp(heatmap.astype(jnp.float32), xs, ys, flip)
+    if table_dtype is not None:
+        out = out.astype(table_dtype)
+    return out, ok
 
 
 @jax.custom_vjp
@@ -318,7 +336,7 @@ def _slice_warp_bwd(res, ct):
     g, _ = ct  # ok mask is non-differentiable
     # hosting-failed points emit zeros in the forward, so they carry no
     # gradient to the heatmap either
-    g = g * ok[:, :, None, :, :]
+    g = g.astype(jnp.float32) * ok[:, :, None, :, :]
     _, H, W, J = sentinel.shape
     B = xs.shape[0]
     hm_dtype = sentinel.dtype
@@ -402,9 +420,10 @@ def _slice_warp_impl(
         flip = jnp.zeros((B, S), jnp.int32)
     flip = flip.astype(jnp.int32).reshape(B, S // SB, SB)
 
+    dt = jnp.float32  # Mosaic dynamic_gather has no 16-bit lowering yet
     hm_p = jnp.pad(
         heatmap, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))
-    ).astype(jnp.float32)
+    ).astype(dt)
     # pre-transpose so the kernel sees (J, Wp, Hp): image y on lanes — and
     # the axis-swapped layout (J, Hp, Wp) for flipped slices
     hm_t = jnp.transpose(hm_p, (0, 3, 2, 1))  # (B, J, Wp, Hp)
@@ -421,7 +440,7 @@ def _slice_warp_impl(
     out, ok = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S // SB, SB, J, Xp, Y), jnp.float32),
+            jax.ShapeDtypeStruct((B, S // SB, SB, J, Xp, Y), dt),
             jax.ShapeDtypeStruct((B, S // SB, SB, Xp, Y), jnp.float32),
         ),
         grid=(B, S // SB),

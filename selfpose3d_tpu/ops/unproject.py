@@ -241,6 +241,7 @@ def sample_and_aggregate_slicewarp(
     cube_size,
     num_cubes: int = 1,
     mode: str = "flags",
+    dtype=None,
 ) -> jnp.ndarray:
     """Slice-warp (Pallas) sampling path -> (B, J, N).
 
@@ -308,7 +309,12 @@ def sample_and_aggregate_slicewarp(
     def step(acc, view):
         wsum, bsum = acc
         hm, x_v, y_v, b_v, flip_v = view
-        samp, ok = slice_warp_sample(hm, x_v, y_v, flip=flip_v)
+        # kernel tables/values in the model compute dtype (bf16 on the
+        # flagship path — the V2V consumer quantizes to bf16 regardless);
+        # cross-view accumulation stays f32
+        samp, ok = slice_warp_sample(hm, x_v, y_v, flip=flip_v,
+                                     table_dtype=dtype)
+        samp = samp.astype(jnp.float32)
         if fix:
             # points whose hosting failed (sub-pixel pitch, collisions,
             # non-monotone rows passing near a camera) get an exact gather
@@ -355,6 +361,7 @@ def unproject_heatmaps(
     cube_size: Sequence[int],
     hflip: Optional[jnp.ndarray] = None,
     sampling: str = "gather",
+    sampling_dtype=None,
 ) -> jnp.ndarray:
     """Full fused unprojection.
 
@@ -387,7 +394,8 @@ def unproject_heatmaps(
         # per-point orientation selection AND the exact-gather fallback for
         # rows passing near cameras — see sample_and_aggregate_slicewarp
         cubes = sample_and_aggregate_slicewarp(
-            heatmaps, sample_grid, bounding, cube_size, mode="both_fix"
+            heatmaps, sample_grid, bounding, cube_size, mode="both_fix",
+            dtype=sampling_dtype,
         )
     else:
         cubes = sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding)

@@ -182,3 +182,29 @@ class TestSliceWarpVJP:
         ys = jnp.asarray((5 + np.mgrid[0:4, 0:8][0] * 1.0)[None, None], jnp.float32)
         gx = jax.grad(lambda a: jnp.sum(sw.slice_warp_sample(hm, a, ys)[0]))(xs)
         assert float(jnp.abs(gx).max()) == 0.0
+
+
+class TestTableDtype:
+    def test_bf16_tables_close_to_f32(self, rng):
+        """bf16 table mode: no error class beyond the model's own bf16
+        quantization of the V2V input (bounded by ~2^-8 of the value)."""
+        B, H, W, J = 1, 64, 128, 3
+        S, X, Y = 2, 16, 32
+        hm = smooth_heatmap(rng, B, H, W, J)
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = (5 + 3.0 * v + 0.3 * u)[None, None].astype(np.float32)
+        xs = np.concatenate([xs, xs + 4.0], axis=1)
+        ys = (6 + 1.1 * u + 0.2 * v)[None, None].astype(np.float32)
+        ys = np.concatenate([ys, ys + 2.0], axis=1)
+
+        out32, ok32 = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys)
+        )
+        out16, ok16 = sw.slice_warp_sample(
+            jnp.asarray(hm), jnp.asarray(xs), jnp.asarray(ys),
+            table_dtype=jnp.bfloat16,
+        )
+        assert out16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(ok32), np.asarray(ok16))
+        err = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+        assert err.max() < 0.02, err.max()
