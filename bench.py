@@ -19,8 +19,52 @@ import time
 
 A100_EST_FPS = 8.0  # torch reference on one A100 — see BASELINE_DERIVATION.md
 BATCH = int(__import__("os").environ.get("SP3D_BENCH_BATCH", "8"))
+# scene people count: PoseNet cost scales with it through candidate
+# bucketing, exactly like the reference's per-valid-candidate loop — run
+# SP3D_BENCH_PERSONS=6 for the >=6-person datapoint
+PERSONS = int(__import__("os").environ.get("SP3D_BENCH_PERSONS", "3"))
 WARMUP = 3
 ITERS = 10
+
+
+def _fallback_occupancy(cfg, branch):
+    """Worst per-(sample, view) slice-warp hosting-failure count on the
+    RootNet whole-space grid for this scene's real geometry — failures past
+    the 8192-slot exact-fix budget (ops/unproject.py:_exact_fix_failed)
+    degrade silently, so bench surfaces the occupancy. The ok mask depends
+    only on sample coordinates (cameras/grid), so dummy 1-channel heatmaps
+    suffice and this compiles as a tiny side program."""
+    import jax
+    import jax.numpy as jnp
+
+    from selfpose3d_tpu.geometry.grid import compute_grid
+    from selfpose3d_tpu.ops.unproject import (
+        compute_sample_grid,
+        sample_and_aggregate_slicewarp,
+    )
+
+    cube = tuple(cfg.MULTI_PERSON.INITIAL_CUBE_SIZE)
+    hm_w, hm_h = (s // 4 for s in cfg.NETWORK.IMAGE_SIZE)
+
+    @jax.jit
+    def occupancy(cam, trans, orig_wh):
+        B = trans.shape[0]
+        grid = compute_grid(
+            tuple(cfg.MULTI_PERSON.SPACE_SIZE),
+            jnp.asarray(cfg.MULTI_PERSON.SPACE_CENTER),
+            cube,
+        )
+        sg, bnd = compute_sample_grid(
+            grid[None, None], cam, trans, tuple(cfg.NETWORK.IMAGE_SIZE),
+            (hm_w, hm_h), orig_wh=orig_wh,
+        )
+        dummy = jnp.zeros((B, trans.shape[1], hm_h, hm_w, 1), jnp.float32)
+        _, stats = sample_and_aggregate_slicewarp(
+            dummy, sg, bnd, cube, mode="both_fix", return_stats=True
+        )
+        return stats["sw_failed_max"]
+
+    return float(occupancy(branch.cam, branch.trans, branch.orig_wh))
 
 
 def main():
@@ -45,7 +89,7 @@ def main():
     # python loop (ref: multi_person_posenet_ssv.py:365-383)
     model = get_model(cfg)  # bf16 compute path
     branch, _ = make_synthetic_branch(
-        cfg, batch_size=BATCH, num_person=3, with_images=True
+        cfg, batch_size=BATCH, num_person=PERSONS, with_images=True
     )
     # init at B=1: uncompiled init at full batch would blow HBM; params are
     # batch-agnostic.
@@ -87,6 +131,18 @@ def main():
         dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt
+    import sys
+
+    try:
+        occ = _fallback_occupancy(cfg, branch)
+        print(
+            f"slice-warp fallback occupancy: max {occ:.0f} failed points "
+            f"per (sample, view) on the RootNet grid (budget 8192)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # telemetry must never sink the bench number
+        occ = None
+        print(f"fallback-occupancy probe failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

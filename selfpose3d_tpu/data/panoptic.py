@@ -161,7 +161,12 @@ class PanopticDataset:
             self._randaug = RandAugmentCutout(
                 use_randaug=True, use_cutout=cfg.DATASET.APPLY_CUTOUT
             )
-        self._aug_rs = np.random.RandomState(20260816)
+        # RandAugment draws use a per-(frame, cam) RandomState derived in
+        # _build_view_item: a single shared RandomState is not thread-safe
+        # under the prefetch loader and its stream depends on worker
+        # interleaving (non-reproducible), mirroring PanopticSSVDataset's
+        # per-sample seeding (panoptic_ssv.py get_ssv_frame).
+        self._aug_seed = 20260816
         self.cam_list = [skeleton.PANOPTIC_CAM_LIST[i] for i in self.cameras_sel]
 
         db_file = osp.join(
@@ -209,11 +214,16 @@ class PanopticDataset:
         views = []
         for cam_slot in self.cameras_sel:
             rec = copy.deepcopy(self.get_view_record(frame_idx, cam_slot))
-            item = self._build_view_item(rec, load_images)
+            item = self._build_view_item(
+                rec, load_images,
+                aug_key=frame_idx * self.camera_num_total + cam_slot,
+            )
             views.append(item)
         return {"views": views, "frame_idx": frame_idx}
 
-    def _build_view_item(self, rec: dict, load_images: bool) -> dict:
+    def _build_view_item(
+        self, rec: dict, load_images: bool, aug_key: int = 0
+    ) -> dict:
         cfg = self.cfg
         img_w, img_h = cfg.NETWORK.IMAGE_SIZE
 
@@ -239,7 +249,10 @@ class PanopticDataset:
                 )
                 if self._randaug is not None:
                     # (ref: lib/dataset/JointsDataset.py:147-148)
-                    warped = self._randaug(warped, self._aug_rs)
+                    rs = np.random.RandomState(
+                        (self._aug_seed + aug_key) % (2**31 - 1)
+                    )
+                    warped = self._randaug(warped, rs)
                 image = warped.astype(np.float32) / 255.0
 
         c = np.array([width / 2.0, height / 2.0])

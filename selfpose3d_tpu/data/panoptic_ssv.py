@@ -264,9 +264,11 @@ class PanopticSSVDataset(PanopticDataset):
         return b1, b2, b3
 
     def evaluate(self, preds, roots=None, output_dir: str = ""):
-        """Pose-only AP protocol for the SSV train split
-        (ref: panoptic_ssv.py:282-335)."""
-        return super().evaluate(preds, roots, output_dir)
+        """Pose-only AP protocol for the SSV train split: the reference's
+        panoptic_ssv.evaluate computes pose AP/MPJPE only, never root
+        metrics (ref: lib/dataset/panoptic_ssv.py:282-335), so any roots
+        passed by a shared caller are dropped here."""
+        return super().evaluate(preds, None, output_dir)
 
 
     def get_camera(self, rec: dict, cam_slot: int) -> dict:

@@ -259,6 +259,8 @@ class MultiPersonPoseNetSSV(nn.Module):
         train_posenet_stage: bool = True,
         use_l1_stage: bool = False,
         train: bool = True,
+        synth_inject: Optional[dict] = None,
+        bn_eval: bool = False,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray], Dict[str, jnp.ndarray]]:
         """The six SSV loss terms (ref: multi_person_posenet_ssv.py:197-501).
 
@@ -282,17 +284,23 @@ class MultiPersonPoseNetSSV(nn.Module):
         c = self.cfg
         losses: Dict[str, jnp.ndarray] = {}
         B = branch1.batch_size
+        # bn_eval: keep the train-stage loss composition but run every BN in
+        # running-average mode — used by the torch-oracle loss-parity tests,
+        # where train-mode statistics pooling over the 3B fold (the one
+        # documented numerics deviation, see class docstring) would mask
+        # loss-composition errors.
+        net_train = train and not bn_eval
 
         def cat(*trees):
             return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
 
         branches_all = cat(branch1, branch2, branch3)  # (3B, ...)
-        heatmaps_all = self._heatmaps(branches_all, train=train)  # (3B, V, H, W, J)
+        heatmaps_all = self._heatmaps(branches_all, train=net_train)  # (3B, V, H, W, J)
         heatmaps1, heatmaps2, heatmaps3 = jnp.split(heatmaps_all, 3, axis=0)
 
         branches_12 = cat(branch1, branch2)  # (2B, ...)
         if c.WITH_ATTN:
-            attns_12 = self._attns(branches_12, train=train)  # (2B, V, H, W, J)
+            attns_12 = self._attns(branches_12, train=net_train)  # (2B, V, H, W, J)
 
         # ---- 2D heatmap loss vs pseudo labels (ref: :281-290)
         if branch1.target_2d is not None:
@@ -321,15 +329,19 @@ class MultiPersonPoseNetSSV(nn.Module):
             main_all, gc_all = self.root_net(
                 self._root_heatmaps(heatmaps_all),
                 branches_all.cam, branches_all.trans, branches_all.orig_wh,
-                hflip=branches_all.hflip, train=train,
+                hflip=branches_all.hflip, train=net_train,
             )
             grid_centers = gc_all[2 * B :]
             main12, main3 = main_all[: 2 * B], main_all[2 * B :]
 
             if c.NETWORK.ROOTNET_TRAIN_SYNTH and train:
+                # groups=3: an independent num_roots draw per folded branch,
+                # matching the reference's per-branch CuboidProposalNetSoft
+                # calls (cuboid_proposal_net_soft.py:154 called 3x)
                 syn_all, tgt_all = self.root_net.train_synth(
                     branches_all.cam, branches_all.trans, branches_all.orig_wh,
-                    hm_wh, hflip=branches_all.hflip, train=train,
+                    hm_wh, hflip=branches_all.hflip, train=net_train, groups=3,
+                    inject=synth_inject,
                 )
                 # sum of 3 branch mses == 3 * mse over the fold
                 losses["loss_root_syn"] = c.NETWORK.WEIGHT_ROOT_SYN * (
@@ -363,7 +375,7 @@ class MultiPersonPoseNetSSV(nn.Module):
             if single:
                 pred1, valid = self.pose_net(
                     heatmaps1, branch1.cam, branch1.trans, branch1.orig_wh,
-                    grid_centers, hflip=branch1.hflip, train=train,
+                    grid_centers, hflip=branch1.hflip, train=net_train,
                 )
                 any_valid = (jnp.sum(valid) > 0).astype(jnp.float32)
                 kps = project_points_with_trans(
@@ -389,7 +401,7 @@ class MultiPersonPoseNetSSV(nn.Module):
             hm12_in = jnp.concatenate([heatmaps1, heatmaps2], axis=0)
             pred_12, valid_12 = self.pose_net(
                 hm12_in, branches_12.cam, branches_12.trans, branches_12.orig_wh,
-                gc_tiled, hflip=branches_12.hflip, train=train,
+                gc_tiled, hflip=branches_12.hflip, train=net_train,
             )
             pred1, pred2 = pred_12[:B], pred_12[B:]
             valid = valid_12[:B]

@@ -57,10 +57,17 @@ class RootNet(nn.Module):
             self.space_size, jnp.asarray(self.space_center), self.cube_size
         )
         grid = jnp.broadcast_to(grid[None], (B,) + grid.shape)
-        return unproject_heatmaps(
+        cubes, stats = unproject_heatmaps(
             heatmaps, grid, cam, trans, self.image_wh, orig_wh,
             self.cube_size, hflip=hflip, sampling=self.sampling,
+            return_stats=True,
         )
+        # telemetry (apply with mutable=['intermediates'] to read): worst
+        # per-(sample, view) slice-warp hosting-failure count — counts past
+        # the exact-fix budget (ops/unproject.py:_exact_fix_failed) degrade
+        # silently, so bench surfaces this number.
+        self.sow("intermediates", "sw_fallback_failed", stats["sw_failed_max"])
+        return cubes
 
     def __call__(
         self,
@@ -92,6 +99,8 @@ class RootNet(nn.Module):
         heatmap_wh: Tuple[int, int],
         hflip: Optional[jnp.ndarray] = None,
         train: bool = True,
+        groups: int = 1,
+        inject: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Synthetic-root training pass (ref: cuboid_proposal_net_soft.py:151-241).
 
@@ -99,12 +108,25 @@ class RootNet(nn.Module):
         renders their 3D Gaussian target cube and per-view 2D Gaussian
         heatmaps (plus 2% noise), then unprojects + V2Vs them.
 
+        ``groups``: number of folded augmentation branches in the batch axis.
+        The reference calls CuboidProposalNetSoft once per branch, drawing a
+        fresh ``num_people`` each call (cuboid_proposal_net_soft.py:154); a
+        folded 3B batch therefore draws one count per B-sized group so the
+        per-step count distribution matches the reference's.
+
+        ``inject``: optional deterministic draws replacing the RNG — dict
+        with 'roots' (B, P, 3), 'counts' (groups,) int, 'noise' matching the
+        rendered heatmap shape (B, V, 1, H, W). Used by the torch-oracle
+        loss-parity tests (and reproducible debugging); no 'synth' RNG is
+        consumed when given.
+
         Returns (root_cubes_syn (B,X,Y,Z), target_cubes (B,X,Y,Z)).
         """
         B, V = cam.R.shape[:2]
         P = self.max_people
-        rng = self.make_rng("synth")
-        k_n, k_x, k_y, k_z, k_zn, k_noise = jax.random.split(rng, 6)
+        if inject is None:
+            rng = self.make_rng("synth")
+            k_n, k_x, k_y, k_z, k_zn, k_noise = jax.random.split(rng, 6)
 
         # world-space sampling bounds (grid extent + configured shrink)
         ss, sc, rr = self.space_size, self.space_center, self.syn_range
@@ -112,16 +134,26 @@ class RootNet(nn.Module):
         min_y, max_y = sc[1] - ss[1] / 2 + rr[1][0], sc[1] + ss[1] / 2 + rr[1][1]
         min_z, max_z = sc[2] - ss[2] / 2 + rr[2][0], sc[2] + ss[2] / 2 + rr[2][1]
 
-        num_roots = jax.random.randint(k_n, (), 1, P)  # 1..P-1 inclusive
-        mask = (jnp.arange(P) < num_roots).astype(jnp.float32)  # shared across batch
-        mask_b = jnp.broadcast_to(mask[None], (B, P))
-
-        x = jax.random.uniform(k_x, (B, P), minval=min_x, maxval=max_x)
-        y = jax.random.uniform(k_y, (B, P), minval=min_y, maxval=max_y)
-        # z: one base height per sample, shared across roots, + per-root noise
-        z_base = jax.random.uniform(k_z, (B, 1), minval=min_z, maxval=max_z)
-        z = z_base + jax.random.normal(k_zn, (B, P)) * 50.0
-        roots = jnp.stack([x, y, z], axis=-1)  # (B, P, 3)
+        assert B % groups == 0, "folded batch must split evenly into branches"
+        if inject is None:
+            # 1..P-1 inclusive; one independent draw per folded branch group,
+            # shared across that group's batch rows (reference semantics: one
+            # np.random draw per CuboidProposalNetSoft call)
+            num_roots = jax.random.randint(k_n, (groups,), 1, P)
+            x = jax.random.uniform(k_x, (B, P), minval=min_x, maxval=max_x)
+            y = jax.random.uniform(k_y, (B, P), minval=min_y, maxval=max_y)
+            # z: one base height per sample, shared across roots, + noise
+            z_base = jax.random.uniform(k_z, (B, 1), minval=min_z, maxval=max_z)
+            z = z_base + jax.random.normal(k_zn, (B, P)) * 50.0
+            roots = jnp.stack([x, y, z], axis=-1)  # (B, P, 3)
+        else:
+            num_roots = jnp.asarray(inject["counts"], jnp.int32)
+            roots = jnp.asarray(inject["roots"], jnp.float32)
+        self.sow("intermediates", "synth_num_roots", num_roots)
+        counts = jnp.repeat(num_roots, B // groups)  # (B,)
+        mask_b = (
+            jnp.arange(P)[None, :] < counts[:, None]
+        ).astype(jnp.float32)  # (B, P)
         roots = jax.lax.stop_gradient(roots)
 
         from selfpose3d_tpu.geometry.grid import grid_1d_axes
@@ -143,7 +175,10 @@ class RootNet(nn.Module):
             coord_scale=0.25,
             mask=jnp.broadcast_to(mask_b[:, None], (B, V, P)),
         )  # (B, V, 1, H, W)
-        noise = 0.02 * jax.random.normal(k_noise, hm.shape)
+        if inject is None:
+            noise = 0.02 * jax.random.normal(k_noise, hm.shape)
+        else:
+            noise = jnp.asarray(inject["noise"], jnp.float32).reshape(hm.shape)
         hm = jnp.clip(hm + noise, 0.0, 1.0)
         hm = jax.lax.stop_gradient(hm)
         heatmaps = jnp.transpose(hm, (0, 1, 3, 4, 2))  # (B, V, H, W, 1)

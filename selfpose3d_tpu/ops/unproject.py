@@ -242,6 +242,7 @@ def sample_and_aggregate_slicewarp(
     num_cubes: int = 1,
     mode: str = "flags",
     dtype=None,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Slice-warp (Pallas) sampling path -> (B, J, N).
 
@@ -307,7 +308,7 @@ def sample_and_aggregate_slicewarp(
     fix = mode in ("both_fix", "flags_fix")
 
     def step(acc, view):
-        wsum, bsum = acc
+        wsum, bsum, failed_max = acc
         hm, x_v, y_v, b_v, flip_v = view
         # kernel tables/values in the model compute dtype (bf16 on the
         # flagship path — the V2V consumer quantizes to bf16 regardless);
@@ -320,9 +321,23 @@ def sample_and_aggregate_slicewarp(
             # non-monotone rows passing near a camera) get an exact gather
             # through a fixed budget of fallback slots
             samp = _exact_fix_failed(samp, ok, hm, x_v, y_v)
+        # 'flags' mode keeps the failed view's ZEROED value in the weighted
+        # average (no ok-exclusion). Measured on PoseNet cube fixtures
+        # (/tmp probe, r3): failures land where the failed view's true
+        # bilinear value is ~0 (cube corners in foreshortened views), so
+        # zero-inclusion is near-exact (max dev < 1e-3 vs the exact gather)
+        # while excluding the view rescales the other views' mass by
+        # n/(n-1) (max dev 0.49). The residual risk — a distant person
+        # whose whole cube fails in one view — is bounded by the occupancy
+        # telemetry below.
+        # telemetry: worst per-(sample, view) hosting-failure count — in
+        # fix mode, counts beyond the fallback budget silently keep warp
+        # values, so callers surface this (RootNet sows it; bench prints it)
+        n_failed = jnp.sum(1.0 - ok, axis=(1, 2, 3))  # (B,)
         return (
             wsum + samp * b_v[:, :, None, :, :],
             bsum + b_v,
+            jnp.maximum(failed_max, n_failed),
         ), None
 
     views = (
@@ -332,11 +347,12 @@ def sample_and_aggregate_slicewarp(
         jnp.moveaxis(bnd, 1, 0),
         jnp.moveaxis(flips, 1, 0),
     )
-    (wsum, bsum), _ = jax.lax.scan(
+    (wsum, bsum, failed_max), _ = jax.lax.scan(
         step,
         (
             jnp.zeros((B, S, J, X, Y), jnp.float32),
             jnp.zeros((B, S, X, Y), jnp.float32),
+            jnp.zeros((B,), jnp.float32),
         ),
         views,
     )
@@ -348,6 +364,8 @@ def sample_and_aggregate_slicewarp(
         .transpose(0, 3, 1, 4, 5, 2)  # (B, J, K, X, Y, Z)
         .reshape(B, J, N)
     )
+    if return_stats:
+        return out, {"sw_failed_max": jnp.max(failed_max)}
     return out
 
 
@@ -362,6 +380,7 @@ def unproject_heatmaps(
     hflip: Optional[jnp.ndarray] = None,
     sampling: str = "gather",
     sampling_dtype=None,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Full fused unprojection.
 
@@ -389,15 +408,19 @@ def unproject_heatmaps(
     sample_grid, bounding = compute_sample_grid(
         grid_bv, cam, trans, image_wh, heatmap_wh, hflip=flip, orig_wh=orig_wh
     )
+    stats = {"sw_failed_max": jnp.float32(0.0)}
     if sampling == "slicewarp" and slicewarp_supported(heatmaps, cube_size):
         # whole-space grids (this path's only caller is RootNet) need the
         # per-point orientation selection AND the exact-gather fallback for
         # rows passing near cameras — see sample_and_aggregate_slicewarp
-        cubes = sample_and_aggregate_slicewarp(
+        cubes, stats = sample_and_aggregate_slicewarp(
             heatmaps, sample_grid, bounding, cube_size, mode="both_fix",
-            dtype=sampling_dtype,
+            dtype=sampling_dtype, return_stats=True,
         )
     else:
         cubes = sample_and_aggregate_cmajor(heatmaps, sample_grid, bounding)
     X, Y, Z = (int(s) for s in cube_size)
-    return cubes.reshape(B, J, X, Y, Z).transpose(0, 2, 3, 4, 1)
+    out = cubes.reshape(B, J, X, Y, Z).transpose(0, 2, 3, 4, 1)
+    if return_stats:
+        return out, stats
+    return out

@@ -75,16 +75,19 @@ def train_epoch_ssv(
     import os
 
     prof_dir = os.environ.get("SP3D_PROFILE", "")
-    prof_steps = int(os.environ.get("SP3D_PROFILE_STEPS", "3"))
+    prof_steps = max(1, int(os.environ.get("SP3D_PROFILE_STEPS", "3")))
+    prof_active = False
 
     end = time.time()
     for i, (b1, b2, b3) in enumerate(loader):
         data_time.update(time.time() - end)
         if prof_dir and epoch == 0 and i == 2:
             jax.profiler.start_trace(prof_dir)
-        if prof_dir and epoch == 0 and i == 2 + prof_steps:
+            prof_active = True
+        if prof_active and i == 2 + prof_steps:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
+            prof_active = False
         if mesh is not None:
             b1, b2, b3 = (shard_batch(b, mesh) for b in (b1, b2, b3))
         state, metrics = step_fn(state, b1, b2, b3, rng)
@@ -125,6 +128,10 @@ def train_epoch_ssv(
                 prefix = f"{output_dir}/debug/train_{epoch}_{i}"
                 save_debug_images(cfg, b3, hm3, pred2, gc, prefix)
         end = time.time()
+    if prof_active:
+        # short epochs: close the trace so the capture isn't lost
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
     return state
 
 

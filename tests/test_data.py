@@ -425,3 +425,36 @@ class TestShelfCampusSSV:
                 assert item["num_person"] >= 1
         # the two augmented branches differ
         assert not np.allclose(b1[0]["trans"], b2[0]["trans"])
+
+
+class TestSSVEvaluateProtocol:
+    def test_ssv_split_evaluate_is_pose_only(self):
+        """The SSV train split's evaluate is pose-only AP (ref:
+        lib/dataset/panoptic_ssv.py:282-335) — roots passed by a shared
+        caller must be dropped, unlike the base Panoptic protocol which
+        reports root metrics when given roots."""
+        cfg = tiny_cfg()
+        ds = _fake_panoptic_ssv(cfg, n_frames=2)
+        J = ds.num_joints
+        for rec in ds.db:  # the eval protocol needs 3D visibility flags
+            rec["joints_3d_vis"] = [np.ones((J, 3), np.float32)]
+        gt_num = ds.db_size // ds.camera_num_total
+        preds, roots = [], []
+        for i in range(gt_num):
+            rec = ds.db[ds.camera_num_total * i]
+            pr = np.zeros((1, J, 5))
+            pr[0, :, :3] = rec["joints_3d"][0]
+            pr[0, :, 4] = 0.9
+            preds.append(pr)
+            rt = np.zeros((1, 5))
+            rt[0, :3] = rec["joints_3d"][0][ds.root_id]
+            rt[0, 4] = 0.9
+            roots.append(rt)
+        m = ds.evaluate(preds, roots=roots)
+        assert "aps" in m
+        assert "aps_root" not in m and "mpjpe_root" not in m
+        # base protocol with the same inputs does report root metrics
+        from selfpose3d_tpu.data.panoptic import PanopticDataset
+
+        m_base = PanopticDataset.evaluate(ds, preds, roots=roots)
+        assert "aps_root" in m_base

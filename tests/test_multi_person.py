@@ -159,3 +159,47 @@ class TestSSVLosses:
         pn = grads["pose_net"]["v2v_net"]
         pn_norm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(pn)))
         assert float(pn_norm) > 0
+
+
+class TestSynthRootDraws:
+    def test_per_branch_count_independence(self, cfg):
+        """The folded 3B train_synth pass must draw an independent
+        num_roots per branch group (ref: cuboid_proposal_net_soft.py:154
+        is called once per augmentation branch)."""
+        from selfpose3d_tpu.models.root_net import RootNet
+
+        branch, _ = make_synthetic_branch(cfg, batch_size=2, with_images=False)
+        net = RootNet(
+            space_size=tuple(cfg.MULTI_PERSON.SPACE_SIZE),
+            space_center=tuple(cfg.MULTI_PERSON.SPACE_CENTER),
+            cube_size=tuple(cfg.MULTI_PERSON.INITIAL_CUBE_SIZE),
+            image_wh=tuple(cfg.NETWORK.IMAGE_SIZE),
+            max_people=cfg.MULTI_PERSON.MAX_PEOPLE_NUM,
+        )
+        cat3 = lambda x: jnp.concatenate([x, x, x], axis=0)
+        cam3 = jax.tree.map(cat3, branch.cam)
+        trans3, wh3 = cat3(branch.trans), cat3(branch.orig_wh)
+        hm_wh = tuple(cfg.NETWORK.HEATMAP_SIZE)
+
+        variables = net.init(
+            {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(0)},
+            cam3, trans3, wh3, hm_wh, groups=3, method="train_synth",
+        )
+        params = {"params": variables["params"]}
+
+        def counts(seed):
+            (_, _), inter = net.apply(
+                params, cam3, trans3, wh3, hm_wh, groups=3,
+                method="train_synth",
+                rngs={"synth": jax.random.PRNGKey(seed)},
+                mutable=["intermediates", "batch_stats"],
+            )
+            (c,) = inter["intermediates"]["synth_num_roots"]
+            return np.asarray(c)
+
+        seen = [counts(s) for s in range(6)]
+        assert all(c.shape == (3,) for c in seen)
+        P = cfg.MULTI_PERSON.MAX_PEOPLE_NUM
+        assert all(((c >= 1) & (c < P)).all() for c in seen)
+        # independent draws: at least one step has unequal branch counts
+        assert any(len(set(c.tolist())) > 1 for c in seen)

@@ -311,3 +311,244 @@ class TorchInferencePipeline:
                 )
                 pred[:, n, :, 0:3] = single
         return pred, root_cubes, grid_centers
+
+
+# ---------------------------------------------------------------------------
+# SSV training-loss oracle: the reference's six self-supervised loss terms
+# composed exactly as in the training forward pass
+# (ref: lib/models/multi_person_posenet_ssv.py:197-501, l1 matching :155-194,
+# synthetic-root pipeline: lib/models/cuboid_proposal_net_soft.py:152-241).
+# Used by tests/test_ssv_loss_parity.py against the jax ssv_losses graph with
+# identical converted weights and injected synth draws.
+# ---------------------------------------------------------------------------
+
+
+def torch_affine2d(xy, tr):
+    """(N, 2) pixels through a (>=2, 3) affine (homogeneous)."""
+    ones = torch.ones(xy.shape[0], 1)
+    return torch.cat([xy, ones], dim=1) @ tr[:2].t()
+
+
+def torch_render_sum_heatmaps(kps, width, height, stride=4.0, sigma=3.0):
+    """(P, J, 2) image-px keypoints -> (J, H, W) sum-composited Gaussians,
+    clipped to [0, 1] (ref: multi_person_posenet_ssv.py:413-420)."""
+    P, J = kps.shape[:2]
+    xx = torch.arange(width, dtype=torch.float32).view(1, 1, 1, width)
+    yy = torch.arange(height, dtype=torch.float32).view(1, 1, height, 1)
+    x = (kps[..., 0] / stride).view(P, J, 1, 1)
+    y = (kps[..., 1] / stride).view(P, J, 1, 1)
+    hm = torch.exp(-(((xx - x) / sigma) ** 2) / 2 - (((yy - y) / sigma) ** 2) / 2)
+    return torch.clip(hm.sum(0), 0.0, 1.0)
+
+
+def torch_render_root_cube(roots, g1x, g1y, g1z, sigma=200.0):
+    """(P, 3) roots -> (X, Y, Z) max-composited truncated Gaussian target
+    cube (ref: cuboid_proposal_net_soft.py:168-203 — the searchsorted window
+    equals the |d| <= 3*sigma box on a sorted grid)."""
+    cube = torch.zeros(len(g1x), len(g1y), len(g1z))
+    for r in roots:
+        dx, dy, dz = g1x - r[0], g1y - r[1], g1z - r[2]
+        win = (
+            (dx.abs() <= 3 * sigma).float()[:, None, None]
+            * (dy.abs() <= 3 * sigma).float()[None, :, None]
+            * (dz.abs() <= 3 * sigma).float()[None, None, :]
+        )
+        d2 = (
+            (dx ** 2)[:, None, None]
+            + (dy ** 2)[None, :, None]
+            + (dz ** 2)[None, None, :]
+        )
+        cube = torch.maximum(cube, torch.exp(-d2 / (2 * sigma ** 2)) * win)
+    return torch.clip(cube, 0.0, 1.0)
+
+
+class TorchSSVLossPipeline:
+    """Reference SSV loss composition (dual-aug, no-attn path) from torch
+    pieces: per-branch RootNet main/synth passes, per-candidate PoseNet,
+    cross-augmentation projection + Gaussian re-render MSE, Hungarian L1."""
+
+    def __init__(self, cfg_ns, root_v2v, pose_v2v):
+        self.c = cfg_ns
+        self.root_v2v = root_v2v
+        self.pose_v2v = pose_v2v
+        self.project = TorchProjectLayer(
+            cfg_ns.NETWORK.IMAGE_SIZE, cfg_ns.NETWORK.HEATMAP_SIZE
+        )
+
+    def _root_main(self, heatmaps, cams, trans, orig_wh):
+        c = self.c
+        rid = c.DATASET.ROOTIDX
+        root_hms = [h[:, rid : rid + 1] for h in heatmaps]
+        cubes, _ = self.project.get_voxel(
+            root_hms, cams, trans, orig_wh,
+            c.MULTI_PERSON.SPACE_SIZE, [c.MULTI_PERSON.SPACE_CENTER],
+            c.MULTI_PERSON.INITIAL_CUBE_SIZE,
+        )
+        return self.root_v2v(cubes).squeeze(1)
+
+    def _root_synth(self, cams, trans, orig_wh, roots, count, noise):
+        """Injected-draw train_rootnet (ref: cuboid_proposal_net_soft.py:152-241).
+
+        roots: (B, P, 3); count: roots 0..count-1 are live; noise: (B, V, H, W).
+        """
+        c = self.c
+        B, V = roots.shape[0], len(cams)
+        ss, scn = c.MULTI_PERSON.SPACE_SIZE, c.MULTI_PERSON.SPACE_CENTER
+        cube_size = c.MULTI_PERSON.INITIAL_CUBE_SIZE
+        g1 = [
+            torch.linspace(-ss[d] / 2, ss[d] / 2, cube_size[d]) + scn[d]
+            for d in range(3)
+        ]
+        target = torch.stack(
+            [torch_render_root_cube(roots[b, :count], *g1) for b in range(B)]
+        )
+        w, h = self.project.heatmap_size
+        sigma = float(c.NETWORK.SIGMA)
+        hms = []  # per view: (B, 1, H, W)
+        for v in range(V):
+            hm_b = []
+            for b in range(B):
+                kps = torch_project_pose(roots[b, :count], cams[v][b])
+                kps = torch_affine2d(kps, trans[b, v])
+                hm = torch_render_sum_heatmaps(
+                    kps[:, None, :], w, h, sigma=sigma
+                )  # roots as persons, J=1
+                hm = torch.clip(hm + noise[b, v][None], 0.0, 1.0)
+                hm_b.append(hm)
+            hms.append(torch.stack(hm_b))
+        cubes, _ = self.project.get_voxel(
+            hms, cams, trans, orig_wh,
+            c.MULTI_PERSON.SPACE_SIZE, [c.MULTI_PERSON.SPACE_CENTER],
+            c.MULTI_PERSON.INITIAL_CUBE_SIZE,
+        )
+        return self.root_v2v(cubes).squeeze(1), target
+
+    def _posenet_all(self, heatmaps, cams, trans, orig_wh, grid_centers):
+        """Per-candidate PoseNet loop (ref: multi_person_posenet_ssv.py:365-383)."""
+        c = self.c
+        B, J = heatmaps[0].shape[:2]
+        K = grid_centers.shape[1]
+        pred = torch.zeros(B, K, J, 3)
+        for n in range(K):
+            index = grid_centers[:, n, 3] >= 0
+            if index.sum() > 0:
+                cubes, grids = self.project.get_voxel(
+                    heatmaps, cams, trans, orig_wh,
+                    c.PICT_STRUCT.GRID_SIZE, grid_centers[:, n],
+                    c.PICT_STRUCT.CUBE_SIZE,
+                )
+                single = torch.zeros(B, J, 3)
+                single[index] = torch_soft_argmax(
+                    self.pose_v2v(cubes[index]), grids[index], c.NETWORK.BETA
+                )
+                pred[:, n] = single
+        return pred
+
+    def _l1_matching(self, kps_pred, joints, joints_vis, valid_counts):
+        """Hungarian L1 with drop-worst (ref: multi_person_posenet_ssv.py:155-194).
+
+        kps_pred: (B, V, K, J, 2); joints/vis: (B, V, P, J, 2);
+        valid_counts: (B,) number of valid candidates (score-sorted prefix).
+        """
+        from scipy.optimize import linear_sum_assignment
+
+        c = self.c
+        W, H = float(c.NETWORK.IMAGE_SIZE[0]), float(c.NETWORK.IMAGE_SIZE[1])
+        B, V = kps_pred.shape[:2]
+        losses = torch.zeros(V * B)
+        for nv in range(V):
+            for bs in range(B):
+                num_gt = int((joints[bs, nv].sum(-1).sum(-1) != 0).sum())
+                num_pred = int(valid_counts[bs])
+                if num_pred == 0 or num_gt == 0:
+                    continue
+                tgt = joints[bs, nv, :num_gt] / torch.tensor([W, H])
+                vis = joints_vis[bs, nv, :num_gt]
+                prd = kps_pred[bs, nv, :num_pred] / torch.tensor([W, H])
+                d = torch.zeros(num_gt, num_pred)
+                for t in range(num_gt):
+                    for p in range(num_pred):
+                        d[t, p] = ((prd[p] - tgt[t]) * vis[t]).abs().mean()
+                rr, cc = linear_sum_assignment(d.numpy())
+                losses[nv * B + bs] = d[rr, cc].sum()
+        if c.L1_ATTN:
+            mask = torch.ones(V * B)
+            mask[torch.argmax(losses)] = 0.0
+            return (losses * mask).sum() / (V * B - 1)
+        return losses.mean()
+
+    def losses(self, hm1, hm2, hm3, t2d1, t2d2, t2d3, cams,
+               trans1, trans2, trans3, orig_wh, joints1, vis1, joints2, vis2,
+               synth):
+        """All six terms for the rootnet+posenet+L1 stage.
+
+        hm*/t2d*: per-branch [view](B, J, H, W) lists / (B, V, J, H, W);
+        synth: dict with per-branch 'roots' (3, B, P, 3), 'counts' (3,),
+        'noise' (3, B, V, H, W).
+        """
+        c = self.c
+        F_ = F
+        out = {}
+        mse = F_.mse_loss
+        out["loss_2d"] = (
+            mse(torch.stack(hm1, 1), t2d1)
+            + mse(torch.stack(hm2, 1), t2d2)
+            + mse(torch.stack(hm3, 1), t2d3)
+        ) / 3.0
+
+        m1 = self._root_main(hm1, cams, trans1, orig_wh)
+        m2 = self._root_main(hm2, cams, trans2, orig_wh)
+        m3 = self._root_main(hm3, cams, trans3, orig_wh)
+        grid_centers = torch_proposals_soft(
+            m3, c.MULTI_PERSON.MAX_PEOPLE_NUM, c.MULTI_PERSON.THRESHOLD,
+            c.MULTI_PERSON.SPACE_SIZE, c.MULTI_PERSON.SPACE_CENTER,
+            c.MULTI_PERSON.INITIAL_CUBE_SIZE,
+        )
+        syn_losses = []
+        for bi, (hmb, trb) in enumerate(((hm1, trans1), (hm2, trans2), (hm3, trans3))):
+            syn, tgt = self._root_synth(
+                cams, trb, orig_wh,
+                synth["roots"][bi], int(synth["counts"][bi]),
+                synth["noise"][bi],
+            )
+            syn_losses.append(mse(syn, tgt))
+        out["loss_root_syn"] = c.NETWORK.WEIGHT_ROOT_SYN * sum(syn_losses)
+        m3d = m3.detach()
+        out["loss_root_reg"] = c.NETWORK.WEIGHT_ROOT_REG * (
+            mse(m1, m3d) + mse(m2, m3d)
+        )
+
+        pred1 = self._posenet_all(hm1, cams, trans1, orig_wh, grid_centers)
+        pred2 = self._posenet_all(hm2, cams, trans2, orig_wh, grid_centers)
+        valid_counts = (grid_centers[..., 3] >= 0).sum(-1)  # (B,)
+
+        B, V = t2d1.shape[0], len(cams)
+        J = hm1[0].shape[1]
+        w_img, h_img = self.project.heatmap_size
+
+        def cross_render_and_kps(pred_src, trans_dst):
+            """pred_src (B,K,J,3) -> (hm (B,V,J,H,W), kps (B,V,K,J,2))."""
+            K = pred_src.shape[1]
+            hms = torch.zeros(B, V, J, h_img, w_img)
+            kps_all = torch.zeros(B, V, K, J, 2)
+            for v in range(V):
+                for b in range(B):
+                    nv_valid = int(valid_counts[b])
+                    kps = torch_project_pose(
+                        pred_src[b].reshape(K * J, 3), cams[v][b]
+                    )
+                    kps = torch_affine2d(kps, trans_dst[b, v]).reshape(K, J, 2)
+                    kps_all[b, v] = kps
+                    hms[b, v] = torch_render_sum_heatmaps(
+                        kps[:nv_valid], w_img, h_img
+                    )
+            return hms, kps_all
+
+        hm_21, kps21 = cross_render_and_kps(pred2, trans1)  # pred2 -> frame1
+        hm_12, kps12 = cross_render_and_kps(pred1, trans2)  # pred1 -> frame2
+        out["loss_pose3d_ssv"] = mse(t2d1, hm_21) + mse(t2d2, hm_12)
+        out["loss_pose3d_l1_ssv"] = (
+            self._l1_matching(kps12, joints2, vis2, valid_counts)
+            + self._l1_matching(kps21, joints1, vis1, valid_counts)
+        ) * c.L1_WEIGHT
+        return out, grid_centers
