@@ -40,7 +40,7 @@ def _fallback_occupancy(cfg, branch):
     from selfpose3d_tpu.geometry.grid import compute_grid
     from selfpose3d_tpu.ops.unproject import (
         compute_sample_grid,
-        sample_and_aggregate_slicewarp,
+        sample_whole_space_slicewarp,
     )
 
     cube = tuple(cfg.MULTI_PERSON.INITIAL_CUBE_SIZE)
@@ -59,8 +59,8 @@ def _fallback_occupancy(cfg, branch):
             (hm_w, hm_h), orig_wh=orig_wh,
         )
         dummy = jnp.zeros((B, trans.shape[1], hm_h, hm_w, 1), jnp.float32)
-        _, stats = sample_and_aggregate_slicewarp(
-            dummy, sg, bnd, cube, mode="both_fix", return_stats=True
+        _, stats = sample_whole_space_slicewarp(
+            dummy, sg, bnd, cube, return_stats=True,
         )
         return stats["sw_failed_max"]
 

@@ -90,6 +90,7 @@ def main():
         cfg, model, state, test_ds, output_dir, load_images=not args.no_images
     )
     logger.info("final precision (mean AP): %s", precision)
+    return precision
 
 
 if __name__ == "__main__":

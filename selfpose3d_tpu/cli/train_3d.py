@@ -29,6 +29,12 @@ def parse_args():
     p.add_argument("--platform", type=str, default="",
                    help="force a jax platform (e.g. cpu); the container's "
                         "sitecustomize pins the axon TPU backend otherwise")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(auto-discovers the coordinator on TPU pods / via "
+                        "JAX_COORDINATOR_ADDRESS). The mesh then spans all "
+                        "hosts' devices and the loader stripes each host's "
+                        "input shard by process_index (data/loader.py).")
     return p.parse_args()
 
 
@@ -51,6 +57,12 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        # multi-host SPMD: after this, jax.devices() is global, make_mesh
+        # spans every host, and the PrefetchLoader feeds each process its
+        # jax.process_index() stripe. Without the flag the CLIs are
+        # single-process (all reference-scale configs fit one host).
+        jax.distributed.initialize()
     cfg = load_config(args.cfg)
     logger, output_dir, tb_dir = create_logger(cfg, args.cfg, "train")
     logger.info("devices: %s", jax.devices())
@@ -117,7 +129,7 @@ def main():
         if not cfg.NETWORK.TRAIN_ONLY_2D:
             precision = validate_3d(
                 cfg, model, state, test_ds, output_dir,
-                load_images=not args.no_images,
+                load_images=not args.no_images, mesh=mesh,
             )
         is_best = precision is not None and precision > best_precision
         if is_best:

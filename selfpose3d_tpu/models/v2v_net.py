@@ -8,11 +8,13 @@ contraction on the MXU lanes; compute dtype is configurable (bf16 by default
 on TPU) with fp32 BatchNorm statistics.
 
 TPU-specific execution (identical math, same parameter trees):
-  * the k=7^3 front convolution runs as 7 zero-shifted 2D convolutions
-    over (Y, Z) with X folded into the batch — XLA's TPU emitter lowers the
-    volumetric 7^3 kernel at <1%% MXU utilization (measured 7.4x slower than
-    the decomposition); k=3^3 convolutions keep the native 3D lowering,
-    which measured FASTER than their 2D decomposition at these shapes;
+  * the k=7^3 front convolution runs as ONE widened-tap 2D convolution
+    per X-chunk (x-taps folded into output channels, N=7*co=112) with a
+    shifted-slice sum — XLA's TPU emitter lowers the volumetric 7^3
+    kernel at <1%% MXU utilization and the per-tap 2D decomposition is
+    N=16-bound; the widened form measured 62.8 -> 52.1 ms at 40x64^3.
+    k=3^3 convolutions keep the native 3D lowering, which measured FASTER
+    than both 2D decompositions at these shapes (see _conv3x3x3);
   * ConvTranspose(k=2, s=2) is a 1x1 matmul into 8x channels followed by
     depth-to-space (the taps don't overlap);
   * max-pool 2^3 is a reshape + max over the sub-voxel axes.
@@ -38,52 +40,72 @@ def conv_init(key, shape, dtype=jnp.float32):
 
 
 class FastConv3D(nn.Module):
-    """k^3 stride-1 SAME 3D conv as k shifted 2D convs (exact).
+    """k^3 stride-1 SAME 3D conv via widened-tap 2D decomposition (exact).
 
     Parameter layout matches nn.Conv ((kx, ky, kz, ci, co) 'kernel' +
     (co,) 'bias'), so converted checkpoints are indistinguishable.
+
+    Execution (measured on v5e, see ARCHITECTURE.md): the TPU conv
+    emitter's throughput is bounded by the matmul N dimension (= output
+    channels) — a 16..32-channel 3D conv runs at ~18-27 TF/s however it is
+    formulated. This module folds the k x-axis taps INTO the output
+    channels of one 2D conv over (Y, Z) planes (N = k*co: 112 for the k=7
+    front, 96 for k=3 res blocks) and reconstructs out[x] = sum_i
+    y[x + i - half, tap i] with a shifted static-slice sum, X-chunked so
+    the k-times-wider intermediate stays bounded. Identical FLOPs, near-
+    full MXU tiles.
     """
 
     features: int
     kernel: int
     dtype: Any = jnp.float32
+    x_chunk: int = 16
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel
         ci = x.shape[-1]
+        co = self.features
         w = self.param(
-            "kernel", conv_init, (k, k, k, ci, self.features), jnp.float32
+            "kernel", conv_init, (k, k, k, ci, co), jnp.float32
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
         w = w.astype(self.dtype)
         x = x.astype(self.dtype)
         B, X, Y, Z, _ = x.shape
         half = (k - 1) // 2
-        xb = x.reshape(B * X, Y, Z, ci) if k == 1 else None
-        out = None
-        for i in range(k):
-            dx = i - half
-            if k == 1:
-                sh = xb
-            else:
-                # zero-shift along X, fold X into batch for the 2D conv
-                if dx < 0:
-                    sh = jnp.pad(x[:, :dx], ((0, 0), (-dx, 0), (0, 0), (0, 0), (0, 0)))
-                elif dx > 0:
-                    sh = jnp.pad(x[:, dx:], ((0, 0), (0, dx), (0, 0), (0, 0), (0, 0)))
-                else:
-                    sh = x
-                sh = sh.reshape(B * X, Y, Z, ci)
+
+        if k == 1:
             y = jax.lax.conv_general_dilated(
-                sh, w[i],
+                x.reshape(B * X, Y, Z, ci), w[0],
                 window_strides=(1, 1), padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=self.dtype,
             )
-            out = y if out is None else out + y
-        out = out + b.astype(self.dtype)
-        return out.reshape(B, X, Y, Z, self.features)
+            return (y + b.astype(self.dtype)).reshape(B, X, Y, Z, co)
+
+        # widened 2D kernel: x-taps become extra output channels
+        w2 = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(k, k, ci, k * co)
+        chunk = min(self.x_chunk, X)
+        while X % chunk:  # largest divisor of X not exceeding x_chunk
+            chunk -= 1
+        xp = jnp.pad(x, ((0, 0), (half, half), (0, 0), (0, 0), (0, 0)))
+        rows = chunk + 2 * half
+        outs = []
+        for c0 in range(0, X, chunk):
+            seg = jax.lax.dynamic_slice_in_dim(xp, c0, rows, axis=1)
+            y = jax.lax.conv_general_dilated(
+                seg.reshape(B * rows, Y, Z, ci), w2,
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            ).reshape(B, rows, Y, Z, k, co)
+            # out[x=c0+j] = sum_i y[j + i, tap i]  (i - half is the x shift)
+            outs.append(
+                sum(y[:, i : i + chunk, :, :, i, :] for i in range(k))
+            )
+        out = jnp.concatenate(outs, axis=1) + b.astype(self.dtype)
+        return out
 
 
 class FastConvTranspose3D(nn.Module):
@@ -128,6 +150,18 @@ class Basic3DBlock(nn.Module):
         return nn.relu(x)
 
 
+def _conv3x3x3(x, features, dtype, name):
+    """k=3 convs keep XLA's native 3D lowering: the widened-tap
+    decomposition was MEASURED SLOWER here (skip_res1 62->85 ms,
+    front_res 37->144 ms at 40x64^3) — the k-times-wider intermediate's
+    HBM traffic and the strided per-tap slice reads swamp the MXU gain
+    that works for k=7 (where taps amortize 7x). See ARCHITECTURE.md."""
+    return nn.Conv(
+        features, (3, 3, 3), padding=1, kernel_init=conv_init,
+        dtype=dtype, name=name,
+    )(x)
+
+
 class Res3DBlock(nn.Module):
     out_ch: int
     dtype: Any = jnp.float32
@@ -135,18 +169,12 @@ class Res3DBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         in_ch = x.shape[-1]
-        res = nn.Conv(
-            self.out_ch, (3, 3, 3), padding=1, kernel_init=conv_init,
-            dtype=self.dtype, name="conv1",
-        )(x)
+        res = _conv3x3x3(x, self.out_ch, self.dtype, "conv1")
         res = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn1"
         )(res, mask=mask)
         res = nn.relu(res)
-        res = nn.Conv(
-            self.out_ch, (3, 3, 3), padding=1, kernel_init=conv_init,
-            dtype=self.dtype, name="conv2",
-        )(res)
+        res = _conv3x3x3(res, self.out_ch, self.dtype, "conv2")
         res = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn2"
         )(res, mask=mask)

@@ -109,7 +109,7 @@ def _search_steps(n: int) -> Tuple[int, ...]:
 
 
 def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Yp,
-                lattice_t: bool = False):
+                lattice_t: bool = False, pack: int = 1):
     """Warp-resample one slice against one heatmap orientation.
 
     Column-hosted exact bilinear: every point is hosted at the image column
@@ -126,20 +126,32 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
     warp orientation and/or exact-gather fallback slots (ops/unproject.py).
 
     hm_ref[0] must be (J, Wp>=pad(W), Hp>=pad(H)) with the warp-minor image
-    axis (y) on lanes; xs/ys are (Xp, Yp) pixel coords in that orientation.
+    axis (y) on lanes; xs/ys are (R=pack*Xp, Yp) pixel coords in that
+    orientation.
+
+    ``pack``: number of slices stacked along the sublane axis (each at
+    stride Xp). All pass-1 math is row-independent, so stacking is free;
+    the payoff is pass 2 — with Xp <= 64 lattice rows, the tap gathers and
+    the per-channel transpose (the kernel's dominant cost) run on
+    (Wp, 128)-lane planes that are half padding for a single slice; packing
+    a slice pair fills the lanes and halves per-slice pass-2 cost. Packed
+    slices share one variant flag (the caller picks flags per pair; a
+    mismatched orientation only moves points into the ok-masked failure
+    set, never corrupts values).
     """
     f32 = jnp.float32
+    R = pack * Xp  # stacked sublane rows
 
     # ---- per-row curve direction; flip so xs increases along iy
-    dir_pos = xs[:, Y - 1 : Y] >= xs[:, 0:1]  # (Xp, 1)
+    dir_pos = xs[:, Y - 1 : Y] >= xs[:, 0:1]  # (R, 1)
     sgn = jnp.where(dir_pos, 1.0, -1.0).astype(f32)
     xs_m = xs * sgn
 
     # ---- branchless binary search: rightmost knot k <= col, k in [0, Y-2]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (Xp, Wp), 1).astype(f32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1).astype(f32)
     cols_i = cols.astype(jnp.int32)
     cols_m = cols * sgn
-    seg = jnp.zeros((Xp, Wp), jnp.int32)
+    seg = jnp.zeros((R, Wp), jnp.int32)
     for st in _search_steps(Y - 1):
         cand = seg + st
         cand_c = jnp.minimum(cand, Y - 2)
@@ -151,7 +163,7 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
     xs_a = _gather_lanes(xs, seg)
     xs_b = _gather_lanes(xs, jnp.minimum(seg + 1, Y - 1))
     hit_a = host_of(xs_a) == cols_i
-    q = jnp.where(hit_a, seg, jnp.minimum(seg + 1, Y - 1))  # (Xp, Wp)
+    q = jnp.where(hit_a, seg, jnp.minimum(seg + 1, Y - 1))  # (R, Wp)
 
     # hosted point's coordinates and bilinear weights, per column
     xs_q = jnp.where(hit_a, xs_a, xs_b)
@@ -172,9 +184,9 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
     wD = w1 * vyq * vy1m
 
     # transposed (column-sublane, row-lane) planes, shared across channels
-    pad_lanes = LANE - Xp
+    pad_lanes = LANE - R
     def tpose(a):
-        return jnp.pad(a.T, ((0, 0), (0, pad_lanes)))
+        return jnp.pad(a.T, ((0, 0), (0, pad_lanes))) if pad_lanes else a.T
 
     y0T_raw = tpose(y0q.astype(f32))
     idx0T = jnp.clip(y0T_raw, 0, H - 1).astype(jnp.int32)
@@ -186,9 +198,9 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
     wDT = tpose(wD).astype(dt)
 
     # ---- per-point host columns + exactness mask
-    xhost = host_of(xs)  # (Xp, Yp)
+    xhost = host_of(xs)  # (R, Yp)
     q_at_host = _gather_lanes(q.astype(f32), xhost).astype(jnp.int32)
-    lane_p = jax.lax.broadcasted_iota(jnp.int32, (Xp, Yp), 1)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (R, Yp), 1)
     okq = q_at_host == lane_p
     # points contributing nothing are fine regardless of hosting
     y0p = jnp.floor(ys).astype(jnp.int32)
@@ -196,16 +208,20 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
         (xs <= -1.0) | (xs >= W) | ((y0p > H - 1) | (y0p + 1 < 0))
     )
 
-    def emit_pts(a):
-        """Write a per-point plane back in the caller's lattice order as an
-        (Xp, Y) block (no lane padding in HBM), transposing the valid square
-        block when the branch swapped the lattice axes."""
+    def emit_pts(a, h):
+        """Write pack-half ``h``'s per-point plane back in the caller's
+        lattice order as an (Xp, Y) block (no lane padding in HBM),
+        transposing the valid square block when the branch swapped the
+        lattice axes."""
+        blk = a[h * Xp : h * Xp + Xp]
         if not lattice_t:
-            return a[:, :Y]
-        sq = a[:X, :Y].T  # slices are square (X == Y)
+            return blk[:, :Y]
+        sq = blk[:X, :Y].T  # slices are square (X == Y)
         return jnp.pad(sq, ((0, Xp - X), (0, 0)))
 
-    ok_ref[0, 0, si] = emit_pts((okq | dead).astype(f32))
+    ok_plane = (okq | dead).astype(f32)
+    for h in range(pack):
+        ok_ref[0, 0, pack * si + h] = emit_pts(ok_plane, h)
     live = okq & ~dead
 
     def channel_body(ch, carry):
@@ -219,11 +235,11 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
         T0b = _gather_lanes(hm_cn, idx0T)
         T1b = _gather_lanes(hm_cn, idx1T)
         val = T0 * wAT + T1 * wBT + T0b * wCT + T1b * wDT  # (Wp, 128)
-        valT = val.T[:Xp]  # (Xp, Wp) — the single per-channel transpose
-        outv = _gather_lanes(valT, xhost)  # (Xp, Yp)
-        out_ref[0, 0, si, ch] = emit_pts(
-            jnp.where(live, outv, jnp.zeros_like(outv))
-        )
+        valT = val.T[:R]  # (R, Wp) — the single per-channel transpose
+        outv = _gather_lanes(valT, xhost)  # (R, Yp)
+        outm = jnp.where(live, outv, jnp.zeros_like(outv))
+        for h in range(pack):
+            out_ref[0, 0, pack * si + h, ch] = emit_pts(outm, h)
         return carry
 
     jax.lax.fori_loop(0, J, channel_body, 0)
@@ -231,42 +247,55 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
 
 def _slice_warp_kernel(
     flip_ref, hm_ref, hms_ref, xs_ref, ys_ref, out_ref, ok_ref,
-    *, H, W, X, Y, J, SB, Wp, Xp, Yp, Wsp,
+    *, H, W, X, Y, J, SB, Wp, Xp, Yp, Wsp, PACK,
 ):
     """One (batch, slice-block) program; 4-way per-slice variant selection:
     bit 0 = hosting image axis (x or y — the projected pitch along the row
     must be >= ~1 px), bit 1 = lattice axis forming the rows (voxel-x or
     voxel-y — a voxel row pointing at the camera is foreshortened in BOTH
-    image axes, but its perpendicular lattice axis never is)."""
+    image axes, but its perpendicular lattice axis never is).
+
+    PACK=2 processes slice pairs stacked on sublanes (see _warp_slice); the
+    pair shares the flag of its even slice."""
     sblk = pl.program_id(1)  # read outside cond/fori (interpret-mode limit)
     square = X == Y
 
     def slice_body(si, _):
-        xs = xs_ref[0, 0, si]  # (Xp, Yp)
-        ys = ys_ref[0, 0, si]
-
         def lat_t(a):  # swap lattice axes (square valid block)
             sq = a[:X, :Y].T
             return jnp.pad(sq, ((0, Xp - X), (0, Yp - Y)))
 
+        def stacked(lt):
+            planes = []
+            for h in range(PACK):
+                xs_h = xs_ref[0, 0, PACK * si + h]  # (Xp, Yp)
+                ys_h = ys_ref[0, 0, PACK * si + h]
+                planes.append((lat_t(xs_h), lat_t(ys_h)) if lt else (xs_h, ys_h))
+            if PACK == 1:
+                return planes[0]
+            return (
+                jnp.concatenate([p[0] for p in planes], axis=0),
+                jnp.concatenate([p[1] for p in planes], axis=0),
+            )
+
         def mk(img_flip, lt):
             def br():
-                xs_, ys_ = (lat_t(xs), lat_t(ys)) if lt else (xs, ys)
+                xs_, ys_ = stacked(lt)
                 if img_flip:
                     _warp_slice(
                         hms_ref, ys_, xs_, out_ref, ok_ref, si,
                         H=W, W=H, X=X, Y=Y, J=J, Wp=Wsp, Xp=Xp, Yp=Yp,
-                        lattice_t=lt,
+                        lattice_t=lt, pack=PACK,
                     )
                 else:
                     _warp_slice(
                         hm_ref, xs_, ys_, out_ref, ok_ref, si,
                         H=H, W=W, X=X, Y=Y, J=J, Wp=Wp, Xp=Xp, Yp=Yp,
-                        lattice_t=lt,
+                        lattice_t=lt, pack=PACK,
                     )
             return br
 
-        flag = flip_ref[0, sblk, si]
+        flag = flip_ref[0, sblk, PACK * si]
         if square:
             jax.lax.switch(
                 jnp.clip(flag, 0, 3),
@@ -276,7 +305,7 @@ def _slice_warp_kernel(
             jax.lax.cond(flag != 0, mk(1, 0), mk(0, 0))
         return 0
 
-    jax.lax.fori_loop(0, SB, slice_body, 0)
+    jax.lax.fori_loop(0, SB // PACK, slice_body, 0)
 
 
 def _pick_slice_block(S: int) -> int:
@@ -284,6 +313,14 @@ def _pick_slice_block(S: int) -> int:
         if S % sb == 0:
             return sb
     return 1
+
+
+def kernel_packs_pairs(cube_xy, S: int) -> bool:
+    """Static mirror of the kernel's slice-pair packing condition, for
+    callers that must choose variant flags per pair."""
+    X, Y = int(cube_xy[0]), int(cube_xy[1])
+    Xp = _round_up(X, 8)
+    return X == Y and 2 * Xp <= LANE and _pick_slice_block(S) % 2 == 0
 
 
 def slice_warp_sample(
@@ -415,6 +452,12 @@ def _slice_warp_impl(
     assert Hp <= 2 * LANE and Wp <= 2 * LANE and Xp <= LANE and Yp <= LANE
     assert Y >= 2
     SB = _pick_slice_block(S)
+    # slice-pair packing: two slices stacked on sublanes fill the 128-lane
+    # pass-2 planes that a single <=64-row slice leaves half-padded — the
+    # tap gathers and per-channel transposes (the dominant kernel cost)
+    # then serve two slices each. Square slices only (the 4-way variant
+    # set needs the lattice transpose) and even slice blocks.
+    PACK = 2 if (X == Y and 2 * Xp <= LANE and SB % 2 == 0) else 1
 
     if flip is None:
         flip = jnp.zeros((B, S), jnp.int32)
@@ -436,6 +479,7 @@ def _slice_warp_impl(
     kernel = functools.partial(
         _slice_warp_kernel,
         H=H, W=W, X=X, Y=Y, J=J, SB=SB, Wp=Wp, Xp=Xp, Yp=Yp, Wsp=Hp,
+        PACK=PACK,
     )
     out, ok = pl.pallas_call(
         kernel,

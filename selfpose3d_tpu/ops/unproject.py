@@ -157,14 +157,18 @@ def sample_and_aggregate(
     )
 
 
-def slicewarp_supported(heatmaps: jnp.ndarray, cube_size) -> bool:
+def slicewarp_supported(heatmaps: jnp.ndarray, cube_size,
+                        slice_axis: str = "z") -> bool:
     """Static check: the Pallas slice-warp kernel's shape constraints
     (both warp orientations must fit the <=2-vreg gather tables), and a
     TPU backend (off-TPU callers fall back to the exact XLA gather)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     H, W = heatmaps.shape[2], heatmaps.shape[3]
-    X, Y = int(cube_size[0]), int(cube_size[1])
+    if slice_axis == "y":  # slices (X, Z): rows along voxel-z
+        X, Y = int(cube_size[0]), int(cube_size[2])
+    else:
+        X, Y = int(cube_size[0]), int(cube_size[1])
     return H <= 256 and W <= 256 and X <= 128 and 2 <= Y <= 128
 
 
@@ -234,6 +238,163 @@ def _exact_fix_failed(
     return jax.vmap(fix_one)(samp, hm, xs, ys, idxs, took)
 
 
+def _exact_fix_flat(samp, ok, hm, px, py, budget: int = 8192):
+    """Flat-N variant of :func:`_exact_fix_failed`.
+
+    samp: (B, J, N); ok: (B, N); hm: (B, H, W, J); px/py: (B, N).
+    """
+    B, J, N = samp.shape
+    H, W = hm.shape[1], hm.shape[2]
+    R = min(budget, N)
+
+    bad = 1.0 - ok
+    score, idxs = jax.lax.top_k(bad, R)  # (B, R)
+    took = score > 0.5
+
+    def fix_one(cm, hm_b, px_b, py_b, idx_b, took_b):
+        p_x = jnp.take(px_b, idx_b)
+        p_y = jnp.take(py_b, idx_b)
+        x0 = jnp.floor(p_x)
+        y0 = jnp.floor(p_y)
+        ux = p_x - x0
+        vy = p_y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        flat = hm_b.reshape(H * W, J)
+        vals = jnp.zeros((R, J), jnp.float32)
+        for dy, dx, wgt in (
+            (0, 0, (1 - ux) * (1 - vy)),
+            (0, 1, ux * (1 - vy)),
+            (1, 0, (1 - ux) * vy),
+            (1, 1, ux * vy),
+        ):
+            yi = y0i + dy
+            xi = x0i + dx
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            rows = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+            vals = vals + jnp.take(flat, rows, axis=0) * (
+                wgt * valid.astype(jnp.float32)
+            )[:, None]
+        old = jnp.take(cm, idx_b, axis=1)  # (J, R)
+        new = jnp.where(took_b[None, :], vals.T, old)
+        return cm.at[:, idx_b].set(new)
+
+    return jax.vmap(fix_one)(samp, hm, px, py, idxs, took)
+
+
+def sample_whole_space_slicewarp(
+    heatmaps: jnp.ndarray,
+    sample_grid: jnp.ndarray,
+    bounding: jnp.ndarray,
+    cube_size,
+    dtype=None,
+    budget: int = 16384,
+    return_stats: bool = False,
+):
+    """Whole-space (RootNet) slice-warp sampling -> (B, J, N).
+
+    Whole-space grids contain the cameras themselves (Panoptic: an 8 m
+    space with cameras ~4.5 m out), which breaks single-slicing hosting at
+    scale: horizontal lattice rows pointing at a camera go non-monotone
+    (measured 30-46k failed points per view on the flagship scene), and
+    vertical z-rows still fail across the behind-camera mirror wedge
+    (8-14k/view) — both far over any sane exact-fix budget. This path runs
+    the kernel in BOTH slicings (vertical z-rows and horizontal z-plane
+    rows, 6 hosting variants total), selects per point, and exact-gathers
+    only the both-failed residual (the true singular set near the camera
+    axis) through ``budget`` top-k slots.
+
+    Unlike the cube path, per-view flat tensors are materialized — at
+    RootNet sizes ((B, V, J<=15, 128k)) that is a few hundred MB transient,
+    and it buys per-point selection across slicings.
+    """
+    B, V, H, W, J = heatmaps.shape
+    X, Y, Z = (int(s) for s in cube_size)
+    N = X * Y * Z
+
+    px = (sample_grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    py = (sample_grid[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    def one_slicing(hm, x_v, y_v, slice_axis):
+        """One view (B, N) coords -> flat (B, J, N) samples, (B, N) ok."""
+        from selfpose3d_tpu.ops.slicewarp import slice_warp_sample
+
+        if slice_axis == "y":
+            S, RX, RY = Y, X, Z
+
+            def arr(a):
+                return a.reshape(B, X, Y, Z).transpose(0, 2, 1, 3)
+
+            def flat_s(c):  # (B, S, J, RX, RY) -> (B, J, N)
+                return c.transpose(0, 2, 3, 1, 4).reshape(B, J, N)
+
+            def flat_o(o):  # (B, S, RX, RY) -> (B, N)
+                return o.transpose(0, 2, 1, 3).reshape(B, N)
+        else:
+            S, RX, RY = Z, X, Y
+
+            def arr(a):
+                return a.reshape(B, X, Y, Z).transpose(0, 3, 1, 2)
+
+            def flat_s(c):
+                return c.transpose(0, 2, 3, 4, 1).reshape(B, J, N)
+
+            def flat_o(o):
+                return o.transpose(0, 2, 3, 1).reshape(B, N)
+
+        xs = arr(x_v)
+        ys = arr(y_v)
+        pitches = [
+            jnp.mean(jnp.abs(jnp.diff(xs, axis=-1)), axis=(2, 3)),
+            jnp.mean(jnp.abs(jnp.diff(ys, axis=-1)), axis=(2, 3)),
+        ]
+        if RX == RY:
+            pitches += [
+                jnp.mean(jnp.abs(jnp.diff(xs, axis=-2)), axis=(2, 3)),
+                jnp.mean(jnp.abs(jnp.diff(ys, axis=-2)), axis=(2, 3)),
+            ]
+        flips = jnp.argmax(jnp.stack(pitches), axis=0).astype(jnp.int32)
+        samp, ok = slice_warp_sample(hm, xs, ys, flip=flips,
+                                     table_dtype=dtype)
+        return flat_s(samp.astype(jnp.float32)), flat_o(ok)
+
+    def step(acc, view):
+        wsum, bsum, failed_max = acc
+        hm, x_v, y_v, b_v = view
+        samp_y, ok_y = one_slicing(hm, x_v, y_v, "y")
+        samp_z, ok_z = one_slicing(hm, x_v, y_v, "z")
+        samp = jnp.where(ok_y[:, None, :] > 0, samp_y, samp_z)
+        ok = jnp.maximum(ok_y, ok_z)
+        samp = _exact_fix_flat(samp, ok, hm, x_v, y_v, budget)
+        n_failed = jnp.sum(1.0 - ok, axis=-1)  # (B,) both-slicings failed
+        return (
+            wsum + samp * b_v[:, None, :],
+            bsum + b_v,
+            jnp.maximum(failed_max, n_failed),
+        ), None
+
+    views = (
+        jnp.moveaxis(heatmaps, 1, 0),
+        jnp.moveaxis(px, 1, 0),
+        jnp.moveaxis(py, 1, 0),
+        jnp.moveaxis(bounding, 1, 0),
+    )
+    (wsum, bsum, failed_max), _ = jax.lax.scan(
+        step,
+        (
+            jnp.zeros((B, J, N), jnp.float32),
+            jnp.zeros((B, N), jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+        ),
+        views,
+    )
+    out = wsum / (bsum[:, None, :] + 1e-6)
+    out = jnp.clip(jnp.nan_to_num(out, nan=0.0), 0.0, 1.0)
+    if return_stats:
+        return out, {"sw_failed_max": jnp.max(failed_max)}
+    return out
+
+
 def sample_and_aggregate_slicewarp(
     heatmaps: jnp.ndarray,
     sample_grid: jnp.ndarray,
@@ -243,6 +404,7 @@ def sample_and_aggregate_slicewarp(
     mode: str = "flags",
     dtype=None,
     return_stats: bool = False,
+    slice_axis: str = "z",
 ) -> jnp.ndarray:
     """Slice-warp (Pallas) sampling path -> (B, J, N).
 
@@ -267,6 +429,15 @@ def sample_and_aggregate_slicewarp(
                    needed for the whole-space RootNet grid; the top-k
                    compaction costs a sort over N, so it is reserved for
                    small grids.
+      slice_axis: 'z' (default) — slices are z-planes with lattice rows
+                   along voxel-x/y; right for person-centered cubes.
+                   'y' — slices over lattice Y with rows along voxel-Z
+                   (vertical columns): for the WHOLE-SPACE RootNet grid,
+                   horizontal rows pointing at an in-footprint camera go
+                   non-monotone en masse (measured 46k failed points per
+                   view on the flagship scene, 5.6x the exact-fix budget),
+                   while a vertical column only fails if it pierces the
+                   camera's focal plane — vanishingly rare.
     """
     from selfpose3d_tpu.ops.slicewarp import slice_warp_sample
 
@@ -274,18 +445,31 @@ def sample_and_aggregate_slicewarp(
     X, Y, Z = (int(s) for s in cube_size)
     K = num_cubes
     N = K * X * Y * Z
-    S = K * Z
 
-    # denormalize (align-corners) and regroup x-major/z-minor -> z-slices
+    # denormalize (align-corners) and regroup x-major/z-minor -> slices
     px = (sample_grid[..., 0] + 1.0) * 0.5 * (W - 1)
     py = (sample_grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
-    def to_slices(a):  # (B, V, N) -> (B, V, S, X, Y)
-        return (
-            a.reshape(B, V, K, X, Y, Z)
-            .transpose(0, 1, 2, 5, 3, 4)
-            .reshape(B, V, S, X, Y)
-        )
+    if slice_axis == "y":
+        S = K * Y
+        RX, RY = X, Z  # slice shape: RX rows of RY points (rows along z)
+
+        def to_slices(a):  # (B, V, N) -> (B, V, S, X, Z)
+            return (
+                a.reshape(B, V, K, X, Y, Z)
+                .transpose(0, 1, 2, 4, 3, 5)
+                .reshape(B, V, S, X, Z)
+            )
+    else:
+        S = K * Z
+        RX, RY = X, Y
+
+        def to_slices(a):  # (B, V, N) -> (B, V, S, X, Y)
+            return (
+                a.reshape(B, V, K, X, Y, Z)
+                .transpose(0, 1, 2, 5, 3, 4)
+                .reshape(B, V, S, X, Y)
+            )
 
     xs = to_slices(px)
     ys = to_slices(py)
@@ -295,15 +479,28 @@ def sample_and_aggregate_slicewarp(
     # (hosting image axis) x (lattice row axis); square slices only for the
     # lattice-transposed variants
     pitches = [
-        jnp.mean(jnp.abs(jnp.diff(xs, axis=-1)), axis=(3, 4)),  # rows lat-y
+        jnp.mean(jnp.abs(jnp.diff(xs, axis=-1)), axis=(3, 4)),  # row axis
         jnp.mean(jnp.abs(jnp.diff(ys, axis=-1)), axis=(3, 4)),
     ]
-    if X == Y:
+    if RX == RY:
         pitches += [
             jnp.mean(jnp.abs(jnp.diff(xs, axis=-2)), axis=(3, 4)),  # lat-x
             jnp.mean(jnp.abs(jnp.diff(ys, axis=-2)), axis=(3, 4)),
         ]
-    flips = jnp.argmax(jnp.stack(pitches), axis=0).astype(jnp.int32)  # (B,V,S)
+    metric = jnp.stack(pitches)  # (variants, B, V, S)
+    from selfpose3d_tpu.ops.slicewarp import kernel_packs_pairs
+
+    if kernel_packs_pairs((RX, RY), S):
+        # the kernel processes slice pairs sharing one flag: pick the
+        # variant by the pair-mean pitch (adjacent z-slices of one cube
+        # have near-identical projected geometry, so this costs nothing;
+        # residual per-slice disagreements land in the ok-masked set)
+        pair = jnp.mean(metric.reshape(*metric.shape[:3], S // 2, 2), axis=-1)
+        flips = jnp.repeat(
+            jnp.argmax(pair, axis=0).astype(jnp.int32), 2, axis=-1
+        )  # (B, V, S)
+    else:
+        flips = jnp.argmax(metric, axis=0).astype(jnp.int32)  # (B,V,S)
 
     fix = mode in ("both_fix", "flags_fix")
 
@@ -350,20 +547,27 @@ def sample_and_aggregate_slicewarp(
     (wsum, bsum, failed_max), _ = jax.lax.scan(
         step,
         (
-            jnp.zeros((B, S, J, X, Y), jnp.float32),
-            jnp.zeros((B, S, X, Y), jnp.float32),
+            jnp.zeros((B, S, J, RX, RY), jnp.float32),
+            jnp.zeros((B, S, RX, RY), jnp.float32),
             jnp.zeros((B,), jnp.float32),
         ),
         views,
     )
     cubes = wsum / (bsum[:, :, None, :, :] + 1e-6)
     cubes = jnp.clip(jnp.nan_to_num(cubes, nan=0.0), 0.0, 1.0)
-    # (B, S=K*Z, J, X, Y) -> (B, J, N) with x-major/z-minor flattening
-    out = (
-        cubes.reshape(B, K, Z, J, X, Y)
-        .transpose(0, 3, 1, 4, 5, 2)  # (B, J, K, X, Y, Z)
-        .reshape(B, J, N)
-    )
+    # regroup slices -> (B, J, N) with x-major/z-minor flattening
+    if slice_axis == "y":
+        out = (
+            cubes.reshape(B, K, Y, J, X, Z)
+            .transpose(0, 3, 1, 4, 2, 5)  # (B, J, K, X, Y, Z)
+            .reshape(B, J, N)
+        )
+    else:
+        out = (
+            cubes.reshape(B, K, Z, J, X, Y)
+            .transpose(0, 3, 1, 4, 5, 2)  # (B, J, K, X, Y, Z)
+            .reshape(B, J, N)
+        )
     if return_stats:
         return out, {"sw_failed_max": jnp.max(failed_max)}
     return out
@@ -409,12 +613,15 @@ def unproject_heatmaps(
         grid_bv, cam, trans, image_wh, heatmap_wh, hflip=flip, orig_wh=orig_wh
     )
     stats = {"sw_failed_max": jnp.float32(0.0)}
-    if sampling == "slicewarp" and slicewarp_supported(heatmaps, cube_size):
-        # whole-space grids (this path's only caller is RootNet) need the
-        # per-point orientation selection AND the exact-gather fallback for
-        # rows passing near cameras — see sample_and_aggregate_slicewarp
-        cubes, stats = sample_and_aggregate_slicewarp(
-            heatmaps, sample_grid, bounding, cube_size, mode="both_fix",
+    if sampling == "slicewarp" and (
+        slicewarp_supported(heatmaps, cube_size, slice_axis="y")
+        and slicewarp_supported(heatmaps, cube_size, slice_axis="z")
+    ):
+        # whole-space grids (this path's only caller is RootNet): dual
+        # slicings with per-point selection + exact-gather residual — see
+        # sample_whole_space_slicewarp
+        cubes, stats = sample_whole_space_slicewarp(
+            heatmaps, sample_grid, bounding, cube_size,
             dtype=sampling_dtype, return_stats=True,
         )
     else:

@@ -34,10 +34,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Device-put every array leaf with its leading dim sharded over ``axis``.
 
-    Scalars / 0-d leaves are replicated.
+    Scalars / 0-d leaves are replicated. In a multi-host mesh
+    (``jax.distributed.initialize`` + ``sp3d-train --distributed``) each
+    process passes only its own stripe of the global batch (the loader
+    already stripes by ``jax.process_index``, data/loader.py) and the
+    leaves are assembled into global arrays.
     """
     bs = batch_sharding(mesh, axis)
     rep = replicated(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
         import jax.numpy as jnp
@@ -45,6 +50,8 @@ def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
         x = jnp.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, rep)
+        if multihost:
+            return jax.make_array_from_process_local_data(bs, np.asarray(x))
         return jax.device_put(x, bs)
 
     return jax.tree.map(put, tree)

@@ -185,25 +185,41 @@ def validate_3d(
     dataset,
     output_dir: str = "",
     load_images: bool = True,
+    mesh=None,
 ) -> Optional[float]:
     """Validation pass + dataset.evaluate (ref: function.py:352-490).
+
+    With ``mesh``, inference runs SPMD over all devices (batch sharded on
+    the data axis, params replicated) so per-epoch validation scales with
+    chips like the train step does; the final partial batch is padded to
+    the full size (also avoiding a ragged-shape recompile) and trimmed.
 
     Returns the model-selection metric (mean AP over thresholds).
     """
     infer = make_inference_step(model)
-    batch = cfg.TEST.BATCH_SIZE
+    n_dev = 1 if mesh is None else mesh.size
+    batch = cfg.TEST.BATCH_SIZE * n_dev
 
     def make_batch(idxs):
         frames = [dataset.get_frame(i, load_images=load_images) for i in idxs]
-        return collate_branch([f["views"] for f in frames]), len(idxs)
+        views = [f["views"] for f in frames]
+        while len(views) < batch:  # pad the last batch to a full shape
+            views.append(views[-1])
+        return collate_branch(views), len(idxs)
 
     loader = PrefetchLoader(
         len(dataset), batch, make_batch, shuffle=False, num_workers=cfg.WORKERS
     )
 
+    params, stats = state.params, state.batch_stats
+    if mesh is not None:
+        params, stats = replicate((params, stats), mesh)
+
     all_preds, all_roots = [], []
     for branch, n in loader:
-        pred, _, gc = infer(state.params, state.batch_stats, branch)
+        if mesh is not None:
+            branch = shard_batch(branch, mesh)
+        pred, _, gc = infer(params, stats, branch)
         pred = np.asarray(pred)[:n]
         gc = np.asarray(gc)[:n]
         for b in range(n):

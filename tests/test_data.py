@@ -458,3 +458,111 @@ class TestSSVEvaluateProtocol:
 
         m_base = PanopticDataset.evaluate(ds, preds, roots=roots)
         assert "aps_root" in m_base
+
+
+class TestPseudoInferenceDrivers:
+    """s2/s4 drivers with fake models: the drivers own the dataset walk and
+    the crop protocol; these tests pin the result-json contracts that
+    s3/s5 consume (ref: s2_det2_bbox_inference.py:127-179,
+    s4_hrnet_kpt2d_inference.sh:17-23)."""
+
+    def _image_list(self, tmp_path, n=2, wh=(64, 48)):
+        import cv2
+
+        w, h = wh
+        images = []
+        for i in range(n):
+            path = tmp_path / f"img{i}.jpg"
+            img = np.zeros((h, w, 3), np.uint8)
+            img[:, :, 0] = 40 * (i + 1)
+            cv2.imwrite(str(path), img)
+            images.append({"id": i, "file_name": f"img{i}.jpg",
+                           "width": w, "height": h})
+        gt = {"images": images, "annotations": [],
+              "categories": [{"id": 1, "name": "person"}]}
+        p = tmp_path / "image_list.json"
+        json.dump(gt, open(p, "w"))
+        return p
+
+    def test_s2_to_s3_contract(self, tmp_path):
+        from selfpose3d_tpu.pseudo_labels import pipeline as P
+        from selfpose3d_tpu.pseudo_labels.inference import run_person_detector
+
+        img_list = self._image_list(tmp_path)
+
+        def fake_detector(img):
+            assert img.ndim == 3 and img.shape[2] == 3
+            return {
+                "boxes": np.array([[4.0, 6.0, 30.0, 40.0],
+                                   [0.0, 0.0, 8.0, 8.0]]),
+                "scores": np.array([0.95, 0.02]),  # second below floor
+                "keypoints": np.tile(
+                    np.array([10.0, 12.0, 0.9]), (2, 17, 1)
+                ),
+            }
+
+        out_json = tmp_path / "dets.json"
+        res = run_person_detector(
+            str(img_list), str(tmp_path), str(out_json), model=fake_detector
+        )
+        # contract: list of category-1 xywh results with 51-float keypoints
+        assert len(res) == 2  # one per image; low-score filtered
+        for d in res:
+            assert d["category_id"] == 1
+            assert len(d["bbox"]) == 4 and d["bbox"][2] == 26.0
+            assert len(d["keypoints"]) == 51
+        # s3 consumes it directly
+        bbox_json = tmp_path / "bboxes.json"
+        out = P.create_pseudo_bboxes(str(img_list), str(out_json), str(bbox_json))
+        assert len(out["annotations"]) == 2
+        assert out["annotations"][0]["id"] == 1
+
+    def test_s4_to_s5_contract(self, tmp_path):
+        from selfpose3d_tpu.pseudo_labels import pipeline as P
+        from selfpose3d_tpu.pseudo_labels.inference import run_topdown_keypoints
+
+        img_list = self._image_list(tmp_path)
+
+        def fake_detector(img):
+            return {"boxes": np.array([[10.0, 8.0, 50.0, 40.0]]),
+                    "scores": np.array([0.9]),
+                    "keypoints": np.zeros((1, 17, 3))}
+
+        from selfpose3d_tpu.pseudo_labels.inference import run_person_detector
+
+        det_json = tmp_path / "dets.json"
+        run_person_detector(str(img_list), str(tmp_path), str(det_json),
+                            model=fake_detector)
+        bbox_json = tmp_path / "bboxes.json"
+        P.create_pseudo_bboxes(str(img_list), str(det_json), str(bbox_json))
+
+        crops_seen = []
+
+        def fake_pose(crop):
+            crops_seen.append(crop.shape)
+            # keypoints at the crop center with high confidence
+            kp = np.zeros((17, 3))
+            kp[:, 0] = crop.shape[1] / 2.0
+            kp[:, 1] = crop.shape[0] / 2.0
+            kp[:, 2] = 0.9
+            return kp
+
+        kp_json = tmp_path / "kps.json"
+        res = run_topdown_keypoints(
+            str(bbox_json), str(tmp_path), str(kp_json),
+            model=fake_pose, input_wh=(288, 384),
+        )
+        assert len(res) == 2
+        assert all(s == (384, 288, 3) for s in crops_seen)
+        for r in res:
+            assert len(r["keypoints"]) == 51
+            assert "original_id" in r and "center" in r and "scale" in r
+            # crop center maps back to the bbox center (xyxy [10,8,50,40])
+            kp0 = np.array(r["keypoints"]).reshape(17, 3)
+            np.testing.assert_allclose(kp0[0, :2], [30.0, 24.0], atol=0.6)
+
+        # s5 consumes it directly
+        merged_json = tmp_path / "merged.json"
+        merged = P.merge_keypoints(str(bbox_json), str(kp_json), str(merged_json))
+        assert len(merged["annotations"]) == 2
+        assert all(a["num_keypoints"] == 17 for a in merged["annotations"])

@@ -128,3 +128,25 @@ class TestPoseResNetParity:
         k17 = conv_kernel(tm.state_dict()["final_layer.weight"].numpy())
         np.testing.assert_allclose(k[..., 0], k17[..., 5])
         np.testing.assert_allclose(k[..., 1], k17[..., 0])
+
+
+class TestWidenedConv3D:
+    def test_fastconv3d_matches_nn_conv(self, rng):
+        """The widened-tap chunked 2D decomposition (FastConv3D) is exact
+        vs the native 3D conv for k in {1, 3, 7} incl. non-divisible X."""
+        import flax.linen as fnn
+
+        from selfpose3d_tpu.models.v2v_net import FastConv3D, conv_init
+
+        for k, X, Y, ci, co in ((7, 16, 16, 5, 16), (3, 64, 20, 8, 12),
+                                (3, 12, 12, 4, 6), (1, 8, 8, 3, 5)):
+            x = jnp.asarray(rng.rand(2, X, Y, 8, ci).astype(np.float32))
+            fc = FastConv3D(co, k)
+            vs = fc.init(jax.random.PRNGKey(1), x)
+            ref = fnn.Conv(co, (k,) * 3, padding=(k - 1) // 2,
+                           kernel_init=conv_init)
+            out_f = fc.apply(vs, x)
+            out_r = ref.apply({"params": vs["params"]}, x)
+            np.testing.assert_allclose(
+                np.asarray(out_f), np.asarray(out_r), atol=1e-4
+            )

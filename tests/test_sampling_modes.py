@@ -105,3 +105,48 @@ def test_posenet_cubes_both_mode(rng):
     ))
     err = np.abs(exact - warp)
     assert err.max() < 1e-3, err.max()
+
+
+def test_whole_space_dual_slicing(rng):
+    """The RootNet whole-space path: cameras sit INSIDE the space
+    footprint, so horizontal rows pointing at a camera go non-monotone en
+    masse; the dual-slicing union + exact-fix residual must still match
+    the exact gather (r3 telemetry finding, see ARCHITECTURE.md)."""
+    from selfpose3d_tpu.config import load_config
+    from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+    from selfpose3d_tpu.geometry.grid import compute_grid
+    from selfpose3d_tpu.ops.unproject import (
+        compute_sample_grid,
+        sample_and_aggregate_cmajor,
+        sample_whole_space_slicewarp,
+    )
+
+    cube = (40, 40, 10)
+    cfg = load_config(overrides={
+        "NETWORK": {"IMAGE_SIZE": [960, 512], "HEATMAP_SIZE": [240, 128],
+                    "NUM_JOINTS": 15, "SIGMA": 3},
+        "MULTI_PERSON": {"SPACE_SIZE": [8000.0, 8000.0, 2000.0],
+                         "SPACE_CENTER": [0.0, -500.0, 800.0],
+                         "INITIAL_CUBE_SIZE": list(cube)},
+        "DATASET": {"CAMERA_NUM": 3},
+    })
+    branch, _ = make_synthetic_branch(cfg, batch_size=1, num_person=2,
+                                      with_images=False)
+    grid = compute_grid(
+        cfg.MULTI_PERSON.SPACE_SIZE,
+        jnp.asarray(cfg.MULTI_PERSON.SPACE_CENTER), cube,
+    )[None, None]
+    sg, bnd = compute_sample_grid(
+        grid, branch.cam, branch.trans, (960, 512), (240, 128),
+        orig_wh=branch.orig_wh,
+    )
+    hm = branch.input_heatmaps[..., 2:3]  # root channel
+    out, stats = sample_whole_space_slicewarp(
+        hm, sg, bnd, cube, return_stats=True
+    )
+    exact = np.asarray(sample_and_aggregate_cmajor(hm, sg, bnd))
+    err = np.abs(np.asarray(out) - exact)
+    # residual (both-slicings-failed) must stay inside the exact-fix budget
+    assert float(stats["sw_failed_max"]) < 16384
+    assert err.max() < 1e-3, err.max()
+    assert exact.max() > 0.3  # scene actually lights up
