@@ -24,7 +24,31 @@ def parse_args():
     p.add_argument("--score-threshold", type=float, default=0.2)
     p.add_argument("--video", action="store_true", help="ffmpeg mp4 render")
     p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--scene", action="store_true",
+                   help="3D scene composite: camera-image billboards around "
+                        "the skeletons with an orbiting virtual camera (the "
+                        "headless equivalent of the reference's vedo render, "
+                        "ref tools/visualize.py:250-268,493-600); falls back "
+                        "to plain skeleton plots when images are missing")
     return p.parse_args()
+
+
+def _scene_images(rec, size=(640, 360)):
+    """Load this frame's per-view images from the dump's views_meta
+    (None when paths are absent/unreadable)."""
+    import cv2
+
+    from selfpose3d_tpu.utils.zipreader import imread_any
+
+    metas = rec.get("views_meta") or []
+    images = []
+    for m in metas:
+        img = imread_any(m.get("image") or "", cv2.IMREAD_COLOR)
+        if img is None:
+            continue
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        images.append(cv2.resize(img, size))
+    return images
 
 
 def images_to_video(img_dir: str, out_file: str, fps: int = 12):
@@ -58,10 +82,19 @@ def main():
     orderings = track_sequence(poses, scores, args.score_threshold)
 
     os.makedirs(args.out_dir, exist_ok=True)
+    azim = 30.0
     for i, (p, order) in enumerate(zip(poses, orderings)):
         if len(order) == 0:
             continue
-        save_3d_poses(p[order], os.path.join(args.out_dir, f"{i:06d}.png"))
+        out_png = os.path.join(args.out_dir, f"{i:06d}.png")
+        if args.scene:
+            from selfpose3d_tpu.utils.vis import save_scene_render
+
+            images = _scene_images(records[i])
+            save_scene_render(images, p[order], out_png, azimuth=azim)
+            azim -= 0.8  # reference's per-frame orbit (visualize.py:583)
+        else:
+            save_3d_poses(p[order], out_png)
     if args.video:
         images_to_video(args.out_dir, os.path.join(args.out_dir, "render.mp4"), args.fps)
     print(f"rendered {len(poses)} frames to {args.out_dir}")

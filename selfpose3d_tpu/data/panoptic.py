@@ -342,5 +342,15 @@ class PanopticDataset:
                 dump[i]["preds_3d"] = np.asarray(preds[i])
                 if roots is not None:
                     dump[i]["roots_3d_pred"] = np.asarray(roots[i])
+                # per-view image paths + cameras for the scene renderer
+                # (sp3d-visualize --scene; ref tools/visualize.py:544-546
+                # reads per-(frame, cam) records)
+                dump[i]["views_meta"] = [
+                    {
+                        "image": self.db[self.camera_num_total * i + c].get("image"),
+                        "camera": self.db[self.camera_num_total * i + c].get("camera"),
+                    }
+                    for c in range(self.camera_num_total)
+                ]
             pickle.dump(dump, open(out_file, "wb"))
         return m

@@ -249,3 +249,77 @@ def save_multiview_composite(
         r, c = divmod(v, cols)
         grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = p
     cv2.imwrite(file_name, grid)
+
+
+def save_scene_render(
+    images,
+    poses: np.ndarray,
+    file_name: str,
+    azimuth: float = 30.0,
+    elev: float = 22.0,
+    limbs: Sequence[Sequence[int]] = PANOPTIC_LIMBS,
+    downsample: int = 10,
+):
+    """3D scene composite: camera images as upright billboards arranged
+    around the capture space + 3D skeletons, viewed from a virtual orbit
+    camera — the headless matplotlib equivalent of the reference's vedo
+    scene render (ref: tools/visualize.py:250-268 image layout,
+    :493-600 orbiting virtual camera; layout constants reproduced).
+
+    Args:
+      images: per-camera list (<=5) of (H, W, 3) uint8/float RGB images
+              (network-input-space frames, e.g. with 2D overlays).
+      poses:  (P, J, >=3) 3D poses in world mm.
+      azimuth: virtual-camera azimuth for this frame (callers step it
+              per frame to reproduce the reference's orbit).
+    """
+    plt = _plt()
+    # reference billboard layout (tools/visualize.py:251-257)
+    z_rot = [100.0, 80.0, 0.0, 80.0, 100.0]
+    x_t = [-2000.0, -2000.0, -1000.0, 2000.0, 2000.0]
+    y_t = [-2000.0, 0.0, 2000.0, -2000.0, 0.0]
+    scale = 1.8
+
+    fig = plt.figure(figsize=(10, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.computed_zorder = False
+
+    for i, im in enumerate(images[:5]):
+        im = np.asarray(im)
+        if im.dtype != np.uint8:
+            im = np.clip(im * 255.0 if im.max() <= 2.0 else im, 0, 255)
+        im = im[::downsample, ::downsample].astype(np.float32) / 255.0
+        h, w = im.shape[:2]
+        # upright plane (x-rot 90: image rows -> world z), centered
+        lx = (np.arange(w) - w / 2.0) * downsample * scale
+        lz = (h - np.arange(h)) * downsample * scale
+        X0 = np.broadcast_to(lx[None, :], (h, w))
+        Z = np.broadcast_to(lz[:, None], (h, w))
+        a = np.deg2rad(z_rot[i % 5])
+        Xr = X0 * np.cos(a) + x_t[i % 5]
+        Yr = X0 * np.sin(a) + y_t[i % 5]
+        ax.plot_surface(
+            Xr, Yr, Z, facecolors=im, shade=False,
+            rstride=1, cstride=1, antialiased=False, zorder=1,
+        )
+
+    for p in range(poses.shape[0]):
+        pts = poses[p, :, :3]
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=10, zorder=3)
+        for a_, b_ in limbs:
+            ax.plot(
+                [pts[a_, 0], pts[b_, 0]],
+                [pts[a_, 1], pts[b_, 1]],
+                [pts[a_, 2], pts[b_, 2]],
+                linewidth=2, zorder=3,
+            )
+
+    ax.set_xlim(-4000, 4000)
+    ax.set_ylim(-4500, 3500)
+    ax.set_zlim(0, 2500)
+    ax.set_box_aspect((8, 8, 2.5))
+    ax.view_init(elev=elev, azim=azimuth)
+    ax.set_axis_off()
+    os.makedirs(os.path.dirname(file_name) or ".", exist_ok=True)
+    fig.savefig(file_name, dpi=110, bbox_inches="tight")
+    plt.close(fig)

@@ -48,3 +48,61 @@ class TestTracking:
         scores = [np.array([0.9, 0.1, 0.9]), np.array([0.9, 0.9, 0.9])]
         orders = track_sequence(frames, scores, score_threshold=0.2)
         assert len(orders[0]) == 2
+
+
+class TestSceneRender:
+    def test_scene_render_and_cli(self, tmp_path, rng):
+        """save_scene_render composites image billboards + skeletons, and
+        sp3d-visualize --scene drives it from a predictions dump with
+        views_meta (the headless vedo-scene equivalent,
+        ref tools/visualize.py:250-268,493-600)."""
+        import pickle
+        import sys
+
+        import cv2
+
+        from selfpose3d_tpu.utils.vis import save_scene_render
+
+        images = [
+            (rng.rand(90, 160, 3) * 255).astype(np.uint8) for _ in range(5)
+        ]
+        poses = rng.rand(2, 15, 3).astype(np.float32) * 1000.0
+        out = tmp_path / "scene.png"
+        save_scene_render(images, poses, str(out), azimuth=25.0)
+        assert out.exists() and out.stat().st_size > 10000
+
+        # CLI --scene over a fabricated dump
+        img_paths = []
+        for v in range(3):
+            p = tmp_path / f"cam{v}.jpg"
+            cv2.imwrite(str(p), images[v])
+            img_paths.append(str(p))
+        K, J = 3, 15
+        recs = []
+        for i in range(2):
+            pred = np.zeros((K, J, 5), np.float32)
+            pred[:2, :, :3] = poses[:, :, :3] + 50.0 * i
+            pred[:2, :, 3] = 0.0
+            pred[2:, :, 3] = -1.0
+            pred[:2, :, 4] = 0.9
+            recs.append({
+                "key": f"seq_{i}", "preds_3d": pred,
+                "views_meta": [{"image": p, "camera": None}
+                               for p in img_paths],
+            })
+        dump = tmp_path / "predictions_dump.pkl"
+        pickle.dump(recs, open(dump, "wb"))
+
+        from selfpose3d_tpu.cli import visualize as vis_cli
+
+        out_dir = tmp_path / "render"
+        sys_argv = ["sp3d-visualize", "--dump", str(dump),
+                    "--out-dir", str(out_dir), "--scene"]
+        old = sys.argv
+        try:
+            sys.argv = sys_argv
+            vis_cli.main()
+        finally:
+            sys.argv = old
+        pngs = list(out_dir.glob("*.png"))
+        assert len(pngs) == 2
