@@ -136,8 +136,9 @@ def main():
     try:
         occ = _fallback_occupancy(cfg, branch)
         print(
-            f"slice-warp fallback occupancy: max {occ:.0f} failed points "
-            f"per (sample, view) on the RootNet grid (budget 8192)",
+            f"slice-warp fallback occupancy: max {occ:.0f} both-slicings-"
+            f"failed points per (sample, view) on the RootNet grid "
+            f"(exact-fix budget 16384)",
             file=sys.stderr,
         )
     except Exception as e:  # telemetry must never sink the bench number
