@@ -82,6 +82,18 @@ def main():
     import dataclasses
 
     cfg = _flagship_cfg(tiny=False)
+    # SP3D_BENCH_BUCKETS: override candidate buckets, e.g. "10" to force
+    # the full-K path (the honest worst case for >5-person scenes —
+    # with a random-init RootNet, proposal flags don't track the scene's
+    # true person count, so SP3D_BENCH_PERSONS alone can't reach it)
+    import dataclasses as _dc
+    import os as _os
+
+    bk = _os.environ.get("SP3D_BENCH_BUCKETS", "")
+    if bk:
+        buckets = [int(x) for x in bk.split(",") if x]
+        cfg = _dc.replace(cfg, MULTI_PERSON=_dc.replace(
+            cfg.MULTI_PERSON, CANDIDATE_BUCKETS=buckets))
     # production fast path (both default): the exact-within-hosting Pallas
     # slice-warp sampler (ops/slicewarp.py) and <=5-candidate bucketing
     # (cfg MULTI_PERSON.CANDIDATE_BUCKETS) — PoseNet compute scales with the

@@ -62,6 +62,7 @@ def main():
     results["sampler_bwd_over_fwd"] = round(
         max(0.0, results["sampler_fwdbwd_ms"] / max(results["sampler_fwd_ms"], 1e-9) - 1.0), 2
     )
+    print(json.dumps(results), flush=True)  # partial: sampler numbers first
 
     # ---- full SSV train step at flagship shapes
     import dataclasses

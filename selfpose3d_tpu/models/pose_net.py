@@ -116,6 +116,11 @@ class PoseNet(nn.Module):
         valid = flags.astype(jnp.float32)
         return pred, valid
 
+    def _apply_v2v(self, cubes, bn_mask, B, K, train):
+        """V2V over the candidate fold (hierarchical remat inside V2VNet
+        bounds training memory; see models/v2v_net.py)."""
+        return self.v2v_net(cubes, train=train, mask=bn_mask)
+
     def _run(
         self,
         heatmaps: jnp.ndarray,
@@ -177,7 +182,7 @@ class PoseNet(nn.Module):
             any_valid = jnp.any(valid > 0)
             stats_sel = jnp.where(any_valid, valid, jnp.ones_like(valid))
             bn_mask = (stats_sel > 0).reshape(B * K, 1, 1, 1, 1)
-        scored = self.v2v_net(cubes, train=train, mask=bn_mask)  # (B*K, X, Y, Z, J)
+        scored = self._apply_v2v(cubes, bn_mask, B, K, train)  # (B*K, X, Y, Z, J)
 
         scores = scored.reshape(B, K, N, J).transpose(0, 1, 3, 2)  # (B, K, J, N)
         pred = soft_argmax(scores, grids, beta=self.beta)  # (B, K, J, 3)

@@ -145,20 +145,38 @@ class PoseResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         inplanes = 64
+        # nested remat in training: per-stage remat stores only the 4 stage
+        # boundaries; per-block remat inside bounds the recompute peak to
+        # one block's internals. 3Bx5-view 960x512 ResNet-50 activations
+        # don't fit HBM unrematerialized (bench_train OOM: 139G).
+        blk = nn.remat(block_cls, static_argnums=(2,)) if train else block_cls
         for stage, (planes, blocks) in enumerate(
             zip((64, 128, 256, 512), layers)
         ):
             stride = 1 if stage == 0 else 2
             expansion = block_cls.expansion
-            for b in range(blocks):
-                downsample = b == 0 and (stride != 1 or inplanes != planes * expansion)
-                x = block_cls(
-                    planes,
-                    stride=stride if b == 0 else 1,
-                    downsample=downsample,
-                    dtype=self.dtype,
-                    name=f"layer{stage + 1}_{b}",
-                )(x, train)
+
+            def stage_fn(mdl, xs, _stage=stage, _planes=planes,
+                         _blocks=blocks, _stride=stride, _inplanes=inplanes):
+                inp = _inplanes
+                for b in range(_blocks):
+                    downsample = b == 0 and (
+                        _stride != 1 or inp != _planes * expansion
+                    )
+                    xs = blk(
+                        _planes,
+                        stride=_stride if b == 0 else 1,
+                        downsample=downsample,
+                        dtype=mdl.dtype,
+                        name=f"layer{_stage + 1}_{b}",
+                    )(xs, train)
+                    inp = _planes * expansion
+                return xs
+
+            if train:
+                x = nn.remat(stage_fn)(self, x)
+            else:
+                x = stage_fn(self, x)
             inplanes = planes * expansion
 
         for i, (filters, kernel) in enumerate(

@@ -220,24 +220,39 @@ class EncoderDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
-        skip1 = Res3DBlock(32, dtype=self.dtype, name="skip_res1")(x, train, mask)
-        x = _max_pool_3d(x, 2)
-        x = Res3DBlock(64, dtype=self.dtype, name="encoder_res1")(x, train, mask)
+        # hierarchical remat in training: per-block remat alone still keeps
+        # every block BOUNDARY live from forward to backward (measured 30G
+        # at flagship PoseNet shapes; unrematerialized: 139G — see
+        # scripts/bench_train.py). Grouping encoder and decoder into outer
+        # remat regions stores only (x, skip1, skip2, bottleneck) between
+        # phases; the inner per-block remats bound each group's recompute.
+        # Remat never changes numerics — BN semantics are untouched.
+        res = (nn.remat(Res3DBlock, static_argnums=(2,)) if train else Res3DBlock)
+        up = (nn.remat(Upsample3DBlock, static_argnums=(2,)) if train else Upsample3DBlock)
 
-        skip2 = Res3DBlock(64, dtype=self.dtype, name="skip_res2")(x, train, mask)
-        x = _max_pool_3d(x, 2)
-        x = Res3DBlock(128, dtype=self.dtype, name="encoder_res2")(x, train, mask)
+        def enc(mdl, x_, m):
+            skip1 = res(32, dtype=mdl.dtype, name="skip_res1")(x_, train, m)
+            h = _max_pool_3d(x_, 2)
+            h = res(64, dtype=mdl.dtype, name="encoder_res1")(h, train, m)
+            skip2 = res(64, dtype=mdl.dtype, name="skip_res2")(h, train, m)
+            h = _max_pool_3d(h, 2)
+            h = res(128, dtype=mdl.dtype, name="encoder_res2")(h, train, m)
+            h = res(128, dtype=mdl.dtype, name="mid_res")(h, train, m)
+            return h, skip1, skip2
 
-        x = Res3DBlock(128, dtype=self.dtype, name="mid_res")(x, train, mask)
+        def dec(mdl, h, skip1, skip2, m):
+            h = res(128, dtype=mdl.dtype, name="decoder_res2")(h, train, m)
+            h = up(64, dtype=mdl.dtype, name="decoder_upsample2")(h, train, m)
+            h = h + skip2
+            h = res(64, dtype=mdl.dtype, name="decoder_res1")(h, train, m)
+            h = up(32, dtype=mdl.dtype, name="decoder_upsample1")(h, train, m)
+            return h + skip1
 
-        x = Res3DBlock(128, dtype=self.dtype, name="decoder_res2")(x, train, mask)
-        x = Upsample3DBlock(64, dtype=self.dtype, name="decoder_upsample2")(x, train, mask)
-        x = x + skip2
-
-        x = Res3DBlock(64, dtype=self.dtype, name="decoder_res1")(x, train, mask)
-        x = Upsample3DBlock(32, dtype=self.dtype, name="decoder_upsample1")(x, train, mask)
-        x = x + skip1
-        return x
+        if train:
+            h, s1, s2 = nn.remat(enc)(self, x, mask)
+            return nn.remat(dec)(self, h, s1, s2, mask)
+        h, s1, s2 = enc(self, x, mask)
+        return dec(self, h, s1, s2, mask)
 
 
 class V2VNet(nn.Module):
@@ -256,8 +271,17 @@ class V2VNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         x = x.astype(self.dtype)
-        x = Basic3DBlock(16, 7, dtype=self.dtype, name="front_basic")(x, train, mask)
-        x = Res3DBlock(32, dtype=self.dtype, name="front_res")(x, train, mask)
+        basic = (nn.remat(Basic3DBlock, static_argnums=(2,)) if train else Basic3DBlock)
+        res = (nn.remat(Res3DBlock, static_argnums=(2,)) if train else Res3DBlock)
+
+        def front(mdl, x_, m):
+            h = basic(16, 7, dtype=mdl.dtype, name="front_basic")(x_, train, m)
+            return res(32, dtype=mdl.dtype, name="front_res")(h, train, m)
+
+        if train:
+            x = nn.remat(front)(self, x, mask)
+        else:
+            x = front(self, x, mask)
         x = EncoderDecoder(dtype=self.dtype, name="encoder_decoder")(x, train, mask)
         x = nn.Conv(
             self.out_ch, (1, 1, 1), kernel_init=conv_init,

@@ -365,19 +365,35 @@ def _slice_warp_fwd(heatmap, xs, ys, flip):
     out = _slice_warp_impl(heatmap, xs, ys, flip)
     # zero-size sentinel carries the heatmap's static shape/dtype to bwd
     sentinel = jnp.zeros((0,) + heatmap.shape[1:], heatmap.dtype)
-    return out, (sentinel, xs, ys, out[1])
+    return out, (sentinel, xs, ys, flip, out[1])
 
 
 def _slice_warp_bwd(res, ct):
-    sentinel, xs, ys, ok = res
+    sentinel, xs, ys, flip, ok = res
     g, _ = ct  # ok mask is non-differentiable
-    # hosting-failed points emit zeros in the forward, so they carry no
-    # gradient to the heatmap either
-    g = g.astype(jnp.float32) * ok[:, :, None, :, :]
     _, H, W, J = sentinel.shape
     B = xs.shape[0]
     hm_dtype = sentinel.dtype
     _, S, X, Y = xs.shape
+
+    if jax.default_backend() in ("tpu", "axon"):
+        # Pallas adjoint: cumsum-boundary-gather accumulation, no scatters
+        # (the XLA scatter-add below measured 19x the forward on v5e —
+        # scripts/bench_train.py). Exact in the same geometric regime as
+        # the forward; failed points' cotangents are masked identically.
+        dhm = slice_warp_adjoint(
+            (B, H, W, J), xs, ys, g, ok, flip=flip
+        ).astype(hm_dtype)
+        return (
+            dhm,
+            jnp.zeros_like(xs),
+            jnp.zeros_like(ys),
+            np.zeros((B, S), jax.dtypes.float0),
+        )
+
+    # hosting-failed points emit zeros in the forward, so they carry no
+    # gradient to the heatmap either
+    g = g.astype(jnp.float32) * ok[:, :, None, :, :]
     N = S * X * Y
 
     px = xs.reshape(B, N)
@@ -527,3 +543,335 @@ def _slice_warp_impl(
     out = out.reshape(B, S, J, Xp, Y)[:, :, :, :X]
     ok = ok.reshape(B, S, Xp, Y)[:, :, :X]
     return out, ok
+
+
+# ---------------------------------------------------------------------------
+# Pallas adjoint: d(loss)/d(heatmap) without XLA scatters.
+#
+# The XLA scatter-add adjoint measured 19x the forward cost on v5e
+# (scripts/bench_train.py r3) — TPU scatters run a serial loop. This kernel
+# reuses the forward's column-hosted structure: every heatmap cell's
+# contributions form a CONTIGUOUS run of the (monotone) hosted sequence
+# along the perpendicular lattice axis, so the scatter becomes
+#   per (slice, channel):  lane-cumsum of weighted cotangents
+#   per slice (shared):    a branchless lane-binary-search cnt[c, h]
+#   per tap class:         boundary gathers + a lane-difference
+# — all VPU ops, no scatters. Same 4-variant orientation flags as the
+# forward; cotangents of hosting-failed points are zeroed (matching the
+# forward, whose outputs there don't depend on the heatmap).
+# ---------------------------------------------------------------------------
+
+
+def _lane_shift_right(a, sh):
+    """a[:, l] <- a[:, l - sh] (zero fill)."""
+    return jnp.pad(a, ((0, 0), (sh, 0)))[:, : a.shape[1]]
+
+
+def _lane_cumsum(a):
+    """Inclusive prefix sum along lanes via log-step shifted adds."""
+    n = a.shape[1]
+    sh = 1
+    while sh < n:
+        a = a + _lane_shift_right(a, sh)
+        sh *= 2
+    return a
+
+
+def _sub_shift_down(a, sh=1):
+    """a[c, :] <- a[c - sh, :] (zero fill): move contributions to col+sh."""
+    return jnp.pad(a, ((sh, 0), (0, 0)))[: a.shape[0]]
+
+
+def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
+                   Wp, Xp, Yp, lattice_t: bool, pack: int, swapped: bool):
+    """Accumulate one slice's (or packed pair's) heatmap cotangent.
+
+    accA_ref: (J, Wp, Hp) accumulator in the x-hosted layout (columns on
+    sublanes, image rows on lanes); accB_ref: (J, Wsp, Hsp) for the
+    swapped orientation. ``swapped`` selects which one this slice feeds.
+    """
+    f32 = jnp.float32
+    R = pack * Xp
+    Hp = _round_up(H, LANE)
+
+    # ---- pass 1 (identical to the forward)
+    dir_pos = xs[:, Y - 1 : Y] >= xs[:, 0:1]
+    sgn = jnp.where(dir_pos, 1.0, -1.0).astype(f32)
+    xs_m = xs * sgn
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wp), 1).astype(f32)
+    cols_i = cols.astype(jnp.int32)
+    cols_m = cols * sgn
+    seg = jnp.zeros((R, Wp), jnp.int32)
+    for st in _search_steps(Y - 1):
+        cand = seg + st
+        cand_c = jnp.minimum(cand, Y - 2)
+        val = _gather_lanes(xs_m, cand_c)
+        seg = jnp.where((cand <= Y - 2) & (val <= cols_m), cand, seg)
+    host_of = lambda v: jnp.clip(jnp.floor(v), 0, W - 2).astype(jnp.int32)
+    xs_a = _gather_lanes(xs, seg)
+    xs_b = _gather_lanes(xs, jnp.minimum(seg + 1, Y - 1))
+    hit_a = host_of(xs_a) == cols_i
+    q = jnp.where(hit_a, seg, jnp.minimum(seg + 1, Y - 1))
+    xs_q = jnp.where(hit_a, xs_a, xs_b)
+    ys_q = _gather_lanes(ys, q)
+    y0q = jnp.floor(ys_q)
+    vyq = (ys_q - y0q).astype(f32)
+    y0qi = y0q.astype(jnp.int32)
+    vy0m = ((y0qi >= 0) & (y0qi <= H - 1)).astype(f32)
+    vy1m = ((y0qi + 1 >= 0) & (y0qi + 1 <= H - 1)).astype(f32)
+    w0 = jnp.maximum(0.0, 1.0 - jnp.abs(xs_q - cols)) * (cols_i <= W - 1)
+    w1 = jnp.maximum(0.0, 1.0 - jnp.abs(xs_q - (cols + 1.0))) * (
+        cols_i + 1 <= W - 1
+    )
+    # the forward computes a candidate value at EVERY column but only the
+    # point's true host column is gathered back; columns whose q doesn't
+    # actually host there must contribute nothing to the adjoint
+    hostm = (host_of(xs_q) == cols_i).astype(f32)
+    wA = w0 * (1.0 - vyq) * vy0m * hostm
+    wB = w0 * vyq * vy1m * hostm
+    wC = w1 * (1.0 - vyq) * vy0m * hostm
+    wD = w1 * vyq * vy1m * hostm
+
+    xhost = host_of(xs)
+    q_at_host = _gather_lanes(q.astype(f32), xhost).astype(jnp.int32)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (R, Yp), 1)
+    okq = q_at_host == lane_p
+    y0p = jnp.floor(ys).astype(jnp.int32)
+    dead = (xs <= -1.0) | (xs >= W) | ((y0p > H - 1) | (y0p + 1 < 0))
+    live = (okq & ~dead).astype(f32)
+
+    pad_lanes = LANE - R
+
+    def tpose(a):
+        return jnp.pad(a.T, ((0, 0), (0, pad_lanes))) if pad_lanes else a.T
+
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 1)
+    idx0T = tpose(jnp.clip(y0q, 0, H - 1))  # f32, (Wp, 128)
+    wAT, wBT, wCT, wDT = tpose(wA), tpose(wB), tpose(wC), tpose(wD)
+
+    # lattice-pad rows (X <= r < Xp) and beyond-R lanes carry garbage
+    # indices mid-sequence, which breaks the sorted-run property the
+    # boundary counting needs. Replicate the last VALID row's index there:
+    # the sequence stays monotone (a plateau) in either direction, and the
+    # replicated lanes contribute zero value (their cotangents are padding
+    # zeros), so counting them is harmless. Adjoint runs UNPACKED (pack=1):
+    # a packed pair concatenates two separately-monotone sequences, which
+    # is not globally sorted.
+    idx0T = _gather_128(idx0T, jnp.minimum(lane_r, X - 1))
+
+    # per-column monotone direction along r; reversal permutation
+    dirc = idx0T[:, X - 1 : X] >= idx0T[:, 0:1]  # (Wp, 1)
+    rev = jnp.where(dirc, lane_r, (X - 1) - lane_r)
+    rev = jnp.clip(rev, 0, LANE - 1)
+    idx0R = _gather_128(idx0T, rev)
+    # after reversal, lanes >= X are the clip(0) duplicates of lane 0 for
+    # descending columns (plateau at the front is NOT sorted) — push all
+    # beyond-X lanes to a sorted tail instead
+    idx0R = jnp.where(lane_r < X, idx0R, jnp.float32(2 * Hp + 2))
+
+    # ---- per-slice search (channel-shared): cnt[c, h] = #{r: idx0R <= h}
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (Wp, Hp), 1).astype(f32)
+    cnt = jnp.zeros((Wp, Hp), jnp.int32)
+    st = LANE  # counts live in [0, R] inclusive
+    while st >= 1:
+        cand = cnt + st
+        v = _gather_128(idx0R, jnp.clip(cand - 1, 0, LANE - 1))
+        cnt = jnp.where((cand <= R) & (v <= h_iota), cand, cnt)
+        st //= 2
+    cnt_m1 = _lane_shift_right(cnt.astype(f32), 1).astype(jnp.int32)  # cnt at h-1
+
+    def boundary(S, c_plane):
+        """T(c, k) = S[c, k-1] for k>0 else 0, elementwise over a plane."""
+        gathered = _gather_128(S, jnp.clip(c_plane - 1, 0, LANE - 1))
+        return jnp.where(c_plane > 0, gathered, jnp.zeros_like(gathered))
+
+    def read_g(ch, h):
+        blk = g_ref[0, 0, pack * si + h, ch]  # (Xp, Y)
+        if not lattice_t:
+            return blk
+        sq = blk[:X, :Y].T
+        return jnp.pad(sq, ((0, Xp - X), (0, 0)))
+
+    acc_ref = accB_ref if swapped else accA_ref
+
+    def channel_body(ch, carry):
+        gpt_rows = [read_g(ch, h) for h in range(pack)]
+        gpt = (
+            gpt_rows[0] if pack == 1
+            else jnp.concatenate(gpt_rows, axis=0)
+        )  # (R, Y)
+        if gpt.shape[1] < Yp:
+            gpt = jnp.pad(gpt, ((0, 0), (0, Yp - gpt.shape[1])))
+        gl = gpt.astype(f32) * live
+        vq = _gather_lanes(gl, q)  # (R, Wp): cotangent of the hosted point
+        vqT = tpose(vq)  # (Wp, 128)
+        vqR = _gather_128(vqT, rev)
+        # beyond-X lanes: the clipped reversal duplicates real lanes'
+        # values (descending columns) — zero them so nothing double-counts
+        vqR = jnp.where(lane_r < X, vqR, jnp.zeros_like(vqR))
+        wATr = _gather_128(wAT, rev)
+        wBTr = _gather_128(wBT, rev)
+        wCTr = _gather_128(wCT, rev)
+        wDTr = _gather_128(wDT, rev)
+
+        SA = _lane_cumsum(wATr * vqR)
+        SB = _lane_cumsum(wBTr * vqR)
+        SC = _lane_cumsum(wCTr * vqR)
+        SD = _lane_cumsum(wDTr * vqR)
+
+        FA = boundary(SA, cnt)
+        FB = boundary(SB, cnt_m1)  # idx1 = idx0 + 1 targets row h via h-1
+        FC = boundary(SC, cnt)
+        FD = boundary(SD, cnt_m1)
+        dA = FA - _lane_shift_right(FA, 1)
+        dB = FB - _lane_shift_right(FB, 1)
+        dC = FC - _lane_shift_right(FC, 1)
+        dD = FD - _lane_shift_right(FD, 1)
+        contrib = dA + dB + _sub_shift_down(dC + dD, 1)
+        # acc block is (1, J, Wp, Hp): index past the unit batch-block dim
+        acc_ref[0, ch] = acc_ref[0, ch] + contrib
+        return carry
+
+    jax.lax.fori_loop(0, J, channel_body, 0)
+
+
+def _slice_warp_adjoint_kernel(
+    flip_ref, xs_ref, ys_ref, g_ref, accA_ref, accB_ref,
+    *, H, W, X, Y, J, SB, Wp, Xp, Yp, Wsp, PACK,
+):
+    """One (batch, slice-block) program accumulating d(heatmap).
+
+    Both output accumulators map every slice-block step to the same block
+    (Pallas TPU grids run sequentially, so revisited blocks stay in VMEM);
+    step 0 zero-initializes them."""
+    sblk = pl.program_id(1)
+    square = X == Y
+
+    @pl.when(sblk == 0)
+    def _init():
+        accA_ref[...] = jnp.zeros_like(accA_ref)
+        accB_ref[...] = jnp.zeros_like(accB_ref)
+
+    def slice_body(si, _):
+        def lat_t(a):
+            sq = a[:X, :Y].T
+            return jnp.pad(sq, ((0, Xp - X), (0, Yp - Y)))
+
+        def stacked(lt):
+            planes = []
+            for h in range(PACK):
+                xs_h = xs_ref[0, 0, PACK * si + h]
+                ys_h = ys_ref[0, 0, PACK * si + h]
+                planes.append((lat_t(xs_h), lat_t(ys_h)) if lt else (xs_h, ys_h))
+            if PACK == 1:
+                return planes[0]
+            return (
+                jnp.concatenate([p[0] for p in planes], axis=0),
+                jnp.concatenate([p[1] for p in planes], axis=0),
+            )
+
+        def mk(img_flip, lt):
+            def br():
+                xs_, ys_ = stacked(lt)
+                if img_flip:
+                    _adjoint_slice(
+                        g_ref, accA_ref, accB_ref, ys_, xs_, si,
+                        H=W, W=H, X=X, Y=Y, J=J, Wp=Wsp, Xp=Xp, Yp=Yp,
+                        lattice_t=lt, pack=PACK, swapped=True,
+                    )
+                else:
+                    _adjoint_slice(
+                        g_ref, accA_ref, accB_ref, xs_, ys_, si,
+                        H=H, W=W, X=X, Y=Y, J=J, Wp=Wp, Xp=Xp, Yp=Yp,
+                        lattice_t=lt, pack=PACK, swapped=False,
+                    )
+            return br
+
+        flag = flip_ref[0, sblk, PACK * si]
+        if square:
+            jax.lax.switch(
+                jnp.clip(flag, 0, 3),
+                [mk(0, 0), mk(1, 0), mk(0, 1), mk(1, 1)],
+            )
+        else:
+            jax.lax.cond(flag != 0, mk(1, 0), mk(0, 0))
+        return 0
+
+    jax.lax.fori_loop(0, SB // PACK, slice_body, 0)
+
+
+def slice_warp_adjoint(
+    heatmap_shape, xs, ys, g, ok, flip=None,
+):
+    """d(loss)/d(heatmap) for slice_warp_sample via the Pallas adjoint.
+
+    Args:
+      heatmap_shape: static (B, H, W, J).
+      xs, ys: (B, S, X, Y) as in the forward.
+      g:      (B, S, J, X, Y) output cotangents.
+      ok:     (B, S, X, Y) forward ok mask (failed points carry none).
+      flip:   (B, S) variant flags (must match the forward call).
+    Returns:
+      dhm (B, H, W, J) float32.
+    """
+    B, H, W, J = heatmap_shape
+    S, X, Y = xs.shape[1], xs.shape[2], xs.shape[3]
+    Wp = _round_up(W, LANE)
+    Xp = _round_up(X, 8)
+    Yp = _round_up(Y, LANE)
+    Hp = _round_up(H, LANE)
+    SB = _pick_slice_block(S)
+    # unpacked: the boundary counting needs ONE globally sorted index
+    # sequence per column; a packed pair concatenates two monotone halves
+    PACK = 1
+
+    if flip is None:
+        flip = jnp.zeros((B, S), jnp.int32)
+    flip = flip.astype(jnp.int32).reshape(B, S // SB, SB)
+    xs_p = jnp.pad(xs, ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y))).astype(jnp.float32)
+    ys_p = jnp.pad(ys, ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y))).astype(jnp.float32)
+    xs_p = xs_p.reshape(B, S // SB, SB, Xp, Yp)
+    ys_p = ys_p.reshape(B, S // SB, SB, Xp, Yp)
+    g_m = g.astype(jnp.float32) * ok[:, :, None, :, :]
+    g_p = jnp.pad(g_m, ((0, 0), (0, 0), (0, 0), (0, Xp - X), (0, 0)))
+    g_p = g_p.reshape(B, S // SB, SB, J, Xp, Y)
+
+    kernel = functools.partial(
+        _slice_warp_adjoint_kernel,
+        H=H, W=W, X=X, Y=Y, J=J, SB=SB, Wp=Wp, Xp=Xp, Yp=Yp, Wsp=Hp,
+        PACK=PACK,
+    )
+    accA, accB = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, J, Wp, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((B, J, Hp, Wp), jnp.float32),
+        ),
+        grid=(B, S // SB),
+        in_specs=[
+            pl.BlockSpec((1, S // SB, SB), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, SB, Xp, Yp), lambda b, s: (b, s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SB, Xp, Yp), lambda b, s: (b, s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SB, J, Xp, Y), lambda b, s: (b, s, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, J, Wp, Hp), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, Hp, Wp), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(flip, xs_p, ys_p, g_p)
+    # accA is (J, W-columns, H-rows); accB is the swapped orientation
+    # (J, H-columns, W-rows) — both transpose into (H, W, J)
+    dhm = (
+        jnp.transpose(accA[:, :, :W, :H], (0, 3, 2, 1))
+        + jnp.transpose(accB[:, :, :H, :W], (0, 2, 3, 1))
+    )
+    return dhm

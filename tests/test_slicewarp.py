@@ -208,3 +208,49 @@ class TestTableDtype:
         np.testing.assert_array_equal(np.asarray(ok32), np.asarray(ok16))
         err = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
         assert err.max() < 0.02, err.max()
+
+
+class TestPallasAdjoint:
+    def test_adjoint_matches_scatter(self, rng):
+        """The Pallas cumsum-boundary adjoint == the XLA scatter adjoint
+        (the TPU backward path; scatter measured 19x the forward on v5e).
+        Covers ascending/descending rows, the swapped-image variant, and
+        multi-channel accumulation."""
+        B, H, W, J = 1, 64, 96, 3
+        S, X, Y = 2, 16, 32
+        hm = jnp.asarray(smooth_heatmap(rng, B, H, W, J)[:, :H, :W])
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = np.zeros((B, S, X, Y), np.float32)
+        ys = np.zeros((B, S, X, Y), np.float32)
+        xs[0, 0] = 5 + 2.4 * v + 0.3 * u
+        ys[0, 0] = 4 + 1.3 * u + 0.2 * v
+        xs[0, 1] = 88 - 2.2 * v - 0.2 * u  # decreasing direction
+        ys[0, 1] = 8 + 1.1 * u + 0.15 * v
+        out, ok = sw.slice_warp_sample(hm, jnp.asarray(xs), jnp.asarray(ys))
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+
+        # reference: the masked bilinear scatter (the XLA backward)
+        ok5 = np.asarray(ok)[:, :, None, :, :]
+        gm = g * ok5
+        N = S * X * Y
+        px = xs.reshape(B, N)
+        py = ys.reshape(B, N)
+        g_pt = gm.transpose(0, 1, 3, 4, 2).reshape(B, N, J)
+        x0 = np.floor(px)
+        y0 = np.floor(py)
+        ux, vy = px - x0, py - y0
+        ref = np.zeros((B, H * W, J), np.float32)
+        for dy, dx, w in ((0, 0, (1 - ux) * (1 - vy)), (0, 1, ux * (1 - vy)),
+                          (1, 0, (1 - ux) * vy), (1, 1, ux * vy)):
+            yi = (y0 + dy).astype(int)
+            xi = (x0 + dx).astype(int)
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            rows = np.clip(yi, 0, H - 1) * W + np.clip(xi, 0, W - 1)
+            for b in range(B):
+                np.add.at(ref[b], rows[b], g_pt[b] * (w[b] * valid[b])[:, None])
+        ref = ref.reshape(B, H, W, J)
+
+        got = np.asarray(sw.slice_warp_adjoint(
+            (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(g), ok
+        ))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
