@@ -75,6 +75,13 @@ def main():
 
     batch = int(os.environ.get("SP3D_TRAIN_BATCH", "1"))
     cfg = _flagship_cfg(tiny=False)
+    bk = os.environ.get("SP3D_TRAIN_BUCKETS")
+    if bk is not None:  # e.g. "" = no switch (single full-K branch)
+        import dataclasses as _dc
+
+        buckets = [int(x) for x in bk.split(",") if x]
+        cfg = _dc.replace(cfg, MULTI_PERSON=_dc.replace(
+            cfg.MULTI_PERSON, CANDIDATE_BUCKETS=buckets))
     model = get_model(cfg)
     mk = lambda rot, seed: make_synthetic_branch(
         cfg, batch_size=batch, num_person=3, with_images=True,
