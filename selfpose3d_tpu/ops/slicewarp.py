@@ -646,7 +646,11 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
         return jnp.pad(a.T, ((0, 0), (0, pad_lanes))) if pad_lanes else a.T
 
     lane_r = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 1)
-    idx0T = tpose(jnp.clip(y0q, 0, H - 1))  # f32, (Wp, 128)
+    # encoded index: count(y0 <= h) == cnt evaluated at h+1. Clipping at -1
+    # (not 0) keeps the B/D taps of just-above-image points (y0 = -1,
+    # target row 0) countable; entries at either clip boundary carry zero
+    # weight via vy0m/vy1m, so over-counting them is harmless.
+    idx0T = tpose(jnp.clip(y0q, -1.0, H - 1) + 1.0)  # f32 in [0, H]
     wAT, wBT, wCT, wDT = tpose(wA), tpose(wB), tpose(wC), tpose(wD)
 
     # lattice-pad rows (X <= r < Xp) and beyond-R lanes carry garbage
@@ -670,15 +674,21 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
     idx0R = jnp.where(lane_r < X, idx0R, jnp.float32(2 * Hp + 2))
 
     # ---- per-slice search (channel-shared): cnt[c, h] = #{r: idx0R <= h}
+    # with the +1 encoding, cnt[h] counts y0 <= h-1 (= the B/D taps
+    # targeting row h); the A/C taps (row h = y0) use cnt at h+1.
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (Wp, Hp), 1).astype(f32)
     cnt = jnp.zeros((Wp, Hp), jnp.int32)
-    st = LANE  # counts live in [0, R] inclusive
+    st = LANE  # counts live in [0, X] inclusive
     while st >= 1:
         cand = cnt + st
         v = _gather_128(idx0R, jnp.clip(cand - 1, 0, LANE - 1))
         cnt = jnp.where((cand <= R) & (v <= h_iota), cand, cnt)
         st //= 2
-    cnt_m1 = _lane_shift_right(cnt.astype(f32), 1).astype(jnp.int32)  # cnt at h-1
+    # cnt at h+1 (left lane shift); at the top lane every countable entry
+    # (all X valid-and-replicated lanes, idx0enc <= H) is included
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (Wp, Hp), 1)
+    cnt_p1 = jnp.pad(cnt, ((0, 0), (0, 1)))[:, 1:]
+    cnt_p1 = jnp.where(lane_h == Hp - 1, jnp.int32(X), cnt_p1)
 
     def boundary(S, c_plane):
         """T(c, k) = S[c, k-1] for k>0 else 0, elementwise over a plane."""
@@ -719,10 +729,10 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
         SC = _lane_cumsum(wCTr * vqR)
         SD = _lane_cumsum(wDTr * vqR)
 
-        FA = boundary(SA, cnt)
-        FB = boundary(SB, cnt_m1)  # idx1 = idx0 + 1 targets row h via h-1
-        FC = boundary(SC, cnt)
-        FD = boundary(SD, cnt_m1)
+        FA = boundary(SA, cnt_p1)  # A/C target row y0: count at h+1
+        FB = boundary(SB, cnt)     # B/D target row y0+1: count at h
+        FC = boundary(SC, cnt_p1)
+        FD = boundary(SD, cnt)
         dA = FA - _lane_shift_right(FA, 1)
         dB = FB - _lane_shift_right(FB, 1)
         dC = FC - _lane_shift_right(FC, 1)

@@ -254,3 +254,34 @@ class TestPallasAdjoint:
             (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(g), ok
         ))
         np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_adjoint_top_edge(self, rng):
+        """Points straddling the top image border (y0 = -1): their B/D
+        taps land on row 0 — pinned by the +1 count encoding."""
+        B, H, W, J = 1, 64, 96, 2
+        S, X, Y = 1, 8, 32
+        hm = jnp.asarray(smooth_heatmap(rng, B, H, W, J)[:, :H, :W])
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = (3 + 2.8 * v + 0.2 * u)[None, None].astype(np.float32)
+        ys = (-0.6 + 0.35 * u + 0.02 * v)[None, None].astype(np.float32)
+        out, ok = sw.slice_warp_sample(hm, jnp.asarray(xs), jnp.asarray(ys))
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+        gm = g * np.asarray(ok)[:, :, None, :, :]
+        N = S * X * Y
+        px, py = xs.reshape(B, N), ys.reshape(B, N)
+        g_pt = gm.transpose(0, 1, 3, 4, 2).reshape(B, N, J)
+        x0, y0 = np.floor(px), np.floor(py)
+        ux, vy = px - x0, py - y0
+        ref = np.zeros((B, H * W, J), np.float32)
+        for dy, dx, w in ((0, 0, (1 - ux) * (1 - vy)), (0, 1, ux * (1 - vy)),
+                          (1, 0, (1 - ux) * vy), (1, 1, ux * vy)):
+            yi, xi = (y0 + dy).astype(int), (x0 + dx).astype(int)
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            rows = np.clip(yi, 0, H - 1) * W + np.clip(xi, 0, W - 1)
+            np.add.at(ref[0], rows[0], g_pt[0] * (w[0] * valid[0])[:, None])
+        ref = ref.reshape(B, H, W, J)
+        got = np.asarray(sw.slice_warp_adjoint(
+            (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(g), ok
+        ))
+        assert ref[0, 0].max() > 0  # row 0 genuinely receives mass
+        np.testing.assert_allclose(got, ref, atol=2e-5)
