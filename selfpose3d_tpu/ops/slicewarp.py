@@ -47,6 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# test/debug knob: force the XLA scatter-add backward even on TPU, so the
+# Pallas adjoint can be cross-checked against it on real hardware
+# (scripts/check_adjoint_tpu.py)
+_FORCE_XLA_BWD = False
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -376,7 +381,7 @@ def _slice_warp_bwd(res, ct):
     hm_dtype = sentinel.dtype
     _, S, X, Y = xs.shape
 
-    if jax.default_backend() in ("tpu", "axon"):
+    if jax.default_backend() in ("tpu", "axon") and not _FORCE_XLA_BWD:
         # Pallas adjoint: cumsum-boundary-gather accumulation, no scatters
         # (the XLA scatter-add below measured 19x the forward on v5e —
         # scripts/bench_train.py). Exact in the same geometric regime as
