@@ -155,11 +155,17 @@ class PoseNet(nn.Module):
             orig_wh=orig_wh,
         )
         if self.sampling == "slicewarp" and slicewarp_supported(heatmaps, self.cube_size):
+            # bf16 model dtype selects the channel-pair-packed kernel (two
+            # bf16 channels per gather/transpose inside one bitpacked f32;
+            # kernel 25.9 -> 16.7 ms at PoseNet shapes, value precision =
+            # the V2V consumer's own bf16). f32 models keep exact tables.
+            sw_dtype = (
+                jnp.bfloat16 if self.dtype == jnp.bfloat16 else None
+            )
             feats = sample_and_aggregate_slicewarp(
                 heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K,
                 mode="flags",  # per-slice orientation/lattice selection
-                # dtype left f32: bf16 output cast measured net-negative
-                # (Mosaic lacks 16-bit gathers, so tables are f32 anyway)
+                dtype=sw_dtype,
             )  # (B, J, K*N)
         else:
             feats = sample_and_aggregate_cmajor(

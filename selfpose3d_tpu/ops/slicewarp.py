@@ -113,8 +113,28 @@ def _search_steps(n: int) -> Tuple[int, ...]:
     return tuple(steps)
 
 
+def _unpack2(t):
+    """Packed f32 (ch_a in low 16 bits, ch_b in high) -> two EXACT f32
+    planes (a bf16's f32 image is its bits shifted into the high half)."""
+    u = jax.lax.bitcast_convert_type(t, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    b = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return a, b
+
+
+def _pack2(a, b):
+    """Two f32 planes -> one packed f32 (values rounded to bf16)."""
+    ua = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    ub = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(ua | (ub << 16), jnp.float32)
+
+
 def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Yp,
-                lattice_t: bool = False, pack: int = 1):
+                lattice_t: bool = False, pack: int = 1, packc: bool = False):
     """Warp-resample one slice against one heatmap orientation.
 
     Column-hosted exact bilinear: every point is hosted at the image column
@@ -229,6 +249,42 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
         ok_ref[0, 0, pack * si + h] = emit_pts(ok_plane, h)
     live = okq & ~dead
 
+    if packc:
+        # channel-pair packing: two bf16 channels ride every gather AND the
+        # per-channel transpose (the kernel's dominant cost) inside one
+        # packed f32 plane; taps unpack to EXACT f32 for the weighted
+        # combine, the combined value rounds to bf16 for the shared
+        # transpose (the V2V consumer is bf16 anyway)
+        J2 = (J + 1) // 2
+
+        def channel_body(j2, carry):
+            hm_c = hm_ref[0, j2]  # (Wp, Hp) packed f32
+            hm_cn = jnp.concatenate(
+                [hm_c[1:], jnp.zeros((1, hm_c.shape[1]), dt)], axis=0
+            )
+            a0, b0 = _unpack2(_gather_lanes(hm_c, idx0T))
+            a1, b1 = _unpack2(_gather_lanes(hm_c, idx1T))
+            a0n, b0n = _unpack2(_gather_lanes(hm_cn, idx0T))
+            a1n, b1n = _unpack2(_gather_lanes(hm_cn, idx1T))
+            va = a0 * wAT + a1 * wBT + a0n * wCT + a1n * wDT
+            vb = b0 * wAT + b1 * wBT + b0n * wCT + b1n * wDT
+            valT = _pack2(va, vb).T[:R]  # ONE transpose per channel pair
+            oa, ob = _unpack2(_gather_lanes(valT, xhost))
+            zero = jnp.zeros_like(oa)
+            # the out array's channel dim is padded to 2*J2 (odd-J tail is
+            # a dropped scratch channel), so both writes are unconditional
+            for h in range(pack):
+                out_ref[0, 0, pack * si + h, 2 * j2] = emit_pts(
+                    jnp.where(live, oa, zero), h
+                ).astype(out_ref.dtype)
+                out_ref[0, 0, pack * si + h, 2 * j2 + 1] = emit_pts(
+                    jnp.where(live, ob, zero), h
+                ).astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, J2, channel_body, 0)
+        return
+
     def channel_body(ch, carry):
         hm_c = hm_ref[0, ch]  # (Wp, Hp): column-major, y on lanes
         # next image column's data aligned to the hosting column's rows
@@ -252,7 +308,7 @@ def _warp_slice(hm_ref, xs, ys, out_ref, ok_ref, si, *, H, W, X, Y, J, Wp, Xp, Y
 
 def _slice_warp_kernel(
     flip_ref, hm_ref, hms_ref, xs_ref, ys_ref, out_ref, ok_ref,
-    *, H, W, X, Y, J, SB, Wp, Xp, Yp, Wsp, PACK,
+    *, H, W, X, Y, J, SB, Wp, Xp, Yp, Wsp, PACK, PACKC=False,
 ):
     """One (batch, slice-block) program; 4-way per-slice variant selection:
     bit 0 = hosting image axis (x or y — the projected pitch along the row
@@ -290,13 +346,13 @@ def _slice_warp_kernel(
                     _warp_slice(
                         hms_ref, ys_, xs_, out_ref, ok_ref, si,
                         H=W, W=H, X=X, Y=Y, J=J, Wp=Wsp, Xp=Xp, Yp=Yp,
-                        lattice_t=lt, pack=PACK,
+                        lattice_t=lt, pack=PACK, packc=PACKC,
                     )
                 else:
                     _warp_slice(
                         hm_ref, xs_, ys_, out_ref, ok_ref, si,
                         H=H, W=W, X=X, Y=Y, J=J, Wp=Wp, Xp=Xp, Yp=Yp,
-                        lattice_t=lt, pack=PACK,
+                        lattice_t=lt, pack=PACK, packc=PACKC,
                     )
             return br
 
@@ -355,22 +411,29 @@ def slice_warp_sample(
     B, S = xs.shape[0], xs.shape[1]
     if flip is None:
         flip = jnp.zeros((B, S), jnp.int32)
-    out, ok = _slice_warp_vjp(heatmap.astype(jnp.float32), xs, ys, flip)
-    if table_dtype is not None:
+    # bf16 requests take the channel-pair-packed kernel: two channels per
+    # gather/transpose, values rounded to bf16 (exactly the requested
+    # output precision — taps still combine in exact f32)
+    packc = table_dtype == jnp.bfloat16
+    out, ok = _vjp_fn(packc)(heatmap.astype(jnp.float32), xs, ys, flip)
+    if table_dtype is not None and out.dtype != table_dtype:
         out = out.astype(table_dtype)
     return out, ok
 
 
-@jax.custom_vjp
-def _slice_warp_vjp(heatmap, xs, ys, flip):
-    return _slice_warp_impl(heatmap, xs, ys, flip)
+@functools.lru_cache(maxsize=None)
+def _vjp_fn(packc: bool):
+    @jax.custom_vjp
+    def f(heatmap, xs, ys, flip):
+        return _slice_warp_impl(heatmap, xs, ys, flip, packc=packc)
 
+    def fwd(heatmap, xs, ys, flip):
+        out = _slice_warp_impl(heatmap, xs, ys, flip, packc=packc)
+        sentinel = jnp.zeros((0,) + heatmap.shape[1:], heatmap.dtype)
+        return out, (sentinel, xs, ys, flip, out[1])
 
-def _slice_warp_fwd(heatmap, xs, ys, flip):
-    out = _slice_warp_impl(heatmap, xs, ys, flip)
-    # zero-size sentinel carries the heatmap's static shape/dtype to bwd
-    sentinel = jnp.zeros((0,) + heatmap.shape[1:], heatmap.dtype)
-    return out, (sentinel, xs, ys, flip, out[1])
+    f.defvjp(fwd, _slice_warp_bwd)
+    return f
 
 
 def _slice_warp_bwd(res, ct):
@@ -438,14 +501,12 @@ def _slice_warp_bwd(res, ct):
     )
 
 
-_slice_warp_vjp.defvjp(_slice_warp_fwd, _slice_warp_bwd)
-
-
 def _slice_warp_impl(
     heatmap: jnp.ndarray,
     xs: jnp.ndarray,
     ys: jnp.ndarray,
     flip: jnp.ndarray = None,
+    packc: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp-resample voxel slices from one view's heatmaps (exact bilinear
     within the 4-tap band; see module docstring).
@@ -488,10 +549,25 @@ def _slice_warp_impl(
     hm_p = jnp.pad(
         heatmap, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))
     ).astype(dt)
-    # pre-transpose so the kernel sees (J, Wp, Hp): image y on lanes — and
-    # the axis-swapped layout (J, Hp, Wp) for flipped slices
-    hm_t = jnp.transpose(hm_p, (0, 3, 2, 1))  # (B, J, Wp, Hp)
-    hm_s = jnp.transpose(hm_p, (0, 3, 1, 2))  # (B, J, Hp, Wp)
+    if packc:
+        # channel-pair packing: two bf16 channels per f32 table, so every
+        # kernel gather/transpose serves two channels (see _warp_slice)
+        J2 = (J + 1) // 2
+        u = jax.lax.bitcast_convert_type(
+            hm_p.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        if J % 2:
+            u = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, 1)))
+        hm_p = jax.lax.bitcast_convert_type(
+            u[..., 0::2] | (u[..., 1::2] << 16), jnp.float32
+        )  # (B, Hp, Wp, J2)
+        JT, JO, out_dt = J2, 2 * J2, jnp.bfloat16
+    else:
+        JT, JO, out_dt = J, J, dt
+    # pre-transpose so the kernel sees (JT, Wp, Hp): image y on lanes — and
+    # the axis-swapped layout (JT, Hp, Wp) for flipped slices
+    hm_t = jnp.transpose(hm_p, (0, 3, 2, 1))  # (B, JT, Wp, Hp)
+    hm_s = jnp.transpose(hm_p, (0, 3, 1, 2))  # (B, JT, Hp, Wp)
     xs_p = jnp.pad(xs, ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y))).astype(jnp.float32)
     ys_p = jnp.pad(ys, ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y))).astype(jnp.float32)
     xs_p = xs_p.reshape(B, S // SB, SB, Xp, Yp)
@@ -500,12 +576,12 @@ def _slice_warp_impl(
     kernel = functools.partial(
         _slice_warp_kernel,
         H=H, W=W, X=X, Y=Y, J=J, SB=SB, Wp=Wp, Xp=Xp, Yp=Yp, Wsp=Hp,
-        PACK=PACK,
+        PACK=PACK, PACKC=packc,
     )
     out, ok = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S // SB, SB, J, Xp, Y), dt),
+            jax.ShapeDtypeStruct((B, S // SB, SB, JO, Xp, Y), out_dt),
             jax.ShapeDtypeStruct((B, S // SB, SB, Xp, Y), jnp.float32),
         ),
         grid=(B, S // SB),
@@ -515,11 +591,11 @@ def _slice_warp_impl(
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, J, Wp, Hp), lambda b, s: (b, 0, 0, 0),
+                (1, JT, Wp, Hp), lambda b, s: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, J, Hp, Wp), lambda b, s: (b, 0, 0, 0),
+                (1, JT, Hp, Wp), lambda b, s: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -533,7 +609,7 @@ def _slice_warp_impl(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, SB, J, Xp, Y), lambda b, s: (b, s, 0, 0, 0, 0),
+                (1, 1, SB, JO, Xp, Y), lambda b, s: (b, s, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -545,7 +621,7 @@ def _slice_warp_impl(
             vmem_limit_bytes=28 * 1024 * 1024,
         ),
     )(flip, hm_t, hm_s, xs_p, ys_p)
-    out = out.reshape(B, S, J, Xp, Y)[:, :, :, :X]
+    out = out.reshape(B, S, JO, Xp, Y)[:, :, :J, :X]
     ok = ok.reshape(B, S, Xp, Y)[:, :, :X]
     return out, ok
 
