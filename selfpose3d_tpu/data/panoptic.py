@@ -206,9 +206,16 @@ class PanopticDataset:
     def get_view_record(self, frame_idx: int, cam_slot: int) -> dict:
         return self.db[self.camera_num_total * frame_idx + cam_slot]
 
-    def get_frame(self, frame_idx: int, load_images: bool = True) -> Dict:
+    def get_frame(
+        self, frame_idx: int, load_images: bool = True, seed: int = 0
+    ) -> Dict:
         """One multi-view frame as numpy arrays (base-view items only;
-        augmentation/collate handled by the loader)."""
+        augmentation/collate handled by the loader).
+
+        ``seed`` (the epoch on the train path) is mixed into the per-(frame,
+        cam) RandomState so RandAugment draws differ across epochs, matching
+        the reference's fresh global-RNG draws per call
+        (ref: lib/dataset/JointsDataset.py:147-148)."""
         cfg = self.cfg
         img_w, img_h = cfg.NETWORK.IMAGE_SIZE
         views = []
@@ -216,7 +223,8 @@ class PanopticDataset:
             rec = copy.deepcopy(self.get_view_record(frame_idx, cam_slot))
             item = self._build_view_item(
                 rec, load_images,
-                aug_key=frame_idx * self.camera_num_total + cam_slot,
+                aug_key=(seed * 100003 + frame_idx) * self.camera_num_total
+                + cam_slot,
             )
             views.append(item)
         return {"views": views, "frame_idx": frame_idx}

@@ -105,9 +105,14 @@ class ShelfCampusDataset:
     def __len__(self):
         return len(self.frame_range)
 
-    def get_frame(self, idx: int, load_images: bool = False) -> Dict:
+    def get_frame(
+        self, idx: int, load_images: bool = False, seed: int = 0
+    ) -> Dict:
         """One multi-view frame; heatmaps come from the 2D predictions
-        (image-free path, ref: JointsDataset.py:343 + multi_person usage)."""
+        (image-free path, ref: JointsDataset.py:343 + multi_person usage).
+        ``seed`` is accepted for loader-API uniformity; this eval dataset
+        is deterministic."""
+        del seed
         cfg = self.cfg
         fi = self.frame_range[idx]
         img_w, img_h = cfg.NETWORK.IMAGE_SIZE
@@ -260,9 +265,11 @@ class SyntheticPoseDataset:
                 return False
         return True
 
-    def get_frame(self, idx: int, load_images: bool = False) -> Dict:
+    def get_frame(
+        self, idx: int, load_images: bool = False, seed: int = 0
+    ) -> Dict:
         cfg = self.cfg
-        rs = np.random.RandomState(idx)
+        rs = np.random.RandomState(seed * 99991 + idx)
         img_w, img_h = cfg.NETWORK.IMAGE_SIZE
 
         nposes = rs.randint(1, min(6, self.max_people + 1))

@@ -141,9 +141,11 @@ class SyntheticSceneDataset:
             "hflip": hflip,
         }
 
-    def get_frame(self, idx: int, load_images: bool = True) -> Dict:
+    def get_frame(
+        self, idx: int, load_images: bool = True, seed: int = 0
+    ) -> Dict:
         poses = self._frame_poses(idx)
-        rs = np.random.RandomState(idx)
+        rs = np.random.RandomState(seed * 99991 + idx)
         views = [
             self._build_view(poses, v, 0.0, 1.0, False, load_images, rs)
             for v in range(self.cfg.DATASET.CAMERA_NUM)

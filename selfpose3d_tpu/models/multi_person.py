@@ -261,6 +261,7 @@ class MultiPersonPoseNetSSV(nn.Module):
         train: bool = True,
         synth_inject: Optional[dict] = None,
         bn_eval: bool = False,
+        attn_inject: Optional[jnp.ndarray] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray], Dict[str, jnp.ndarray]]:
         """The six SSV loss terms (ref: multi_person_posenet_ssv.py:197-501).
 
@@ -300,7 +301,14 @@ class MultiPersonPoseNetSSV(nn.Module):
 
         branches_12 = cat(branch1, branch2)  # (2B, ...)
         if c.WITH_ATTN:
-            attns_12 = self._attns(branches_12, train=net_train)  # (2B, V, H, W, J)
+            # attn_inject: fixed attention maps (2B, V, Hh, Wh, J) — used by
+            # the torch-oracle parity tests to pin the attention-weighted
+            # loss composition without an image backbone
+            attns_12 = (
+                attn_inject
+                if attn_inject is not None
+                else self._attns(branches_12, train=net_train)
+            )  # (2B, V, H, W, J)
 
         # ---- 2D heatmap loss vs pseudo labels (ref: :281-290)
         if branch1.target_2d is not None:

@@ -53,6 +53,13 @@ LANE = 128
 _FORCE_XLA_BWD = False
 
 
+def _use_pallas_bwd() -> bool:
+    """Whether the backward runs the Pallas adjoint (TPU) instead of the
+    XLA scatter-add. Split out so CPU tests can monkeypatch it and drive
+    the adjoint in interpret mode through the real custom-VJP plumbing."""
+    return jax.default_backend() in ("tpu", "axon") and not _FORCE_XLA_BWD
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -411,6 +418,15 @@ def slice_warp_sample(
     B, S = xs.shape[0], xs.shape[1]
     if flip is None:
         flip = jnp.zeros((B, S), jnp.int32)
+    elif kernel_packs_pairs(xs.shape[2:4], S):
+        # Slice-pair packing applies the EVEN slice's variant flag to both
+        # slices of a pair inside the kernel; the adjoint runs unpacked and
+        # honors each slice's own flag. Force pair-consistency here so the
+        # forward and backward always agree on orientation — otherwise a
+        # caller passing pair-inconsistent flips (nothing forbids it) gets
+        # silently misattributed heatmap gradients (advisor r3).
+        flip = jnp.asarray(flip)
+        flip = flip.at[:, 1::2].set(flip[:, 0::2])
     # bf16 requests take the channel-pair-packed kernel: two channels per
     # gather/transpose, values rounded to bf16 (exactly the requested
     # output precision — taps still combine in exact f32)
@@ -444,7 +460,7 @@ def _slice_warp_bwd(res, ct):
     hm_dtype = sentinel.dtype
     _, S, X, Y = xs.shape
 
-    if jax.default_backend() in ("tpu", "axon") and not _FORCE_XLA_BWD:
+    if _use_pallas_bwd():
         # Pallas adjoint: cumsum-boundary-gather accumulation, no scatters
         # (the XLA scatter-add below measured 19x the forward on v5e —
         # scripts/bench_train.py). Exact in the same geometric regime as
@@ -754,6 +770,20 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
     # beyond-X lanes to a sorted tail instead
     idx0R = jnp.where(lane_r < X, idx0R, jnp.float32(2 * Hp + 2))
 
+    # Validity guard (advisor r3): the boundary counting below is only
+    # correct when each column's hosted-y0 sequence is monotone along r —
+    # `dirc` infers the direction from the two ENDPOINTS, so an interior
+    # non-monotone column (plausible for whole-space rows passing near a
+    # camera) would silently miscount. Verify idx0R is actually sorted
+    # after reversal and ZERO violating columns' contributions: their
+    # points' cotangents are dropped (the same contract as the forward's
+    # ok mask) instead of corrupting d(heatmap). The padded tail
+    # (2*Hp+2 > any encoded index) keeps the full-plane check valid.
+    asc_viol = (idx0R - _lane_shift_right(idx0R, 1)) < 0.0  # lane 0: vs 0-fill, never <0
+    col_ok = 1.0 - jnp.max(
+        asc_viol.astype(f32), axis=1, keepdims=True
+    )  # (Wp, 1)
+
     # ---- per-slice search (channel-shared): cnt[c, h] = #{r: idx0R <= h}
     # with the +1 encoding, cnt[h] counts y0 <= h-1 (= the B/D taps
     # targeting row h); the A/C taps (row h = y0) use cnt at h+1.
@@ -818,7 +848,9 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
         dB = FB - _lane_shift_right(FB, 1)
         dC = FC - _lane_shift_right(FC, 1)
         dD = FD - _lane_shift_right(FD, 1)
-        contrib = dA + dB + _sub_shift_down(dC + dD, 1)
+        # col_ok masks per HOST column: both its own-column (A/B) and
+        # next-column (C/D, applied before the sublane shift) taps
+        contrib = (dA + dB) * col_ok + _sub_shift_down((dC + dD) * col_ok, 1)
         # acc block is (1, J, Wp, Hp): index past the unit batch-block dim
         acc_ref[0, ch] = acc_ref[0, ch] + contrib
         return carry
@@ -904,6 +936,13 @@ def slice_warp_adjoint(
       flip:   (B, S) variant flags (must match the forward call).
     Returns:
       dhm (B, H, W, J) float32.
+
+    Exactness contract: exact adjoint of the forward's 4-tap bilinear
+    wherever each image column's hosted-y0 sequence is monotone along the
+    perpendicular lattice axis. Columns violating that (checked in-kernel;
+    interior non-monotonicity the endpoint direction test can't see) have
+    their points' cotangents DROPPED, never misattributed — the same
+    fail-closed contract as the forward's ok mask.
     """
     B, H, W, J = heatmap_shape
     S, X, Y = xs.shape[1], xs.shape[2], xs.shape[3]

@@ -60,3 +60,51 @@ def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     rep = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def local_batch_size(mesh: Optional[Mesh], per_device_batch: int) -> int:
+    """Per-HOST batch for the input pipeline.
+
+    Loaders/``shard_batch`` treat their batch as process-local: in a
+    multi-host mesh ``make_array_from_process_local_data`` assembles the
+    global batch as per-host x process_count, so each host must feed
+    ``per_device_batch x len(local devices)`` — NOT x mesh.size, which would
+    inflate the per-device batch process_count-fold.
+    """
+    if mesh is None:
+        return per_device_batch
+    return per_device_batch * mesh.local_mesh.size
+
+
+def local_rows(global_array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in feed order.
+
+    Mirrors ``shard_batch``'s placement: with the mesh built from
+    ``jax.devices()`` a process's local devices are contiguous and in-order,
+    so sorting addressable shards by global start offset recovers exactly the
+    rows this host fed in. Safe under ``np.asarray`` where the global array
+    itself is not fully addressable.
+    """
+    shards = sorted(
+        global_array.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def process_allgather_tree(tree: Any) -> Any:
+    """All-gather host-local numpy data across processes (concat on axis 0).
+
+    Identity on single-host. Used by validate_3d so every host holds the
+    full prediction set before ``dataset.evaluate`` (whose
+    ``len(preds) == gt_num`` assert otherwise fails on P>1 hosts).
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(tree, tiled=False)
+    # process_allgather stacks a new leading process axis; flatten it into
+    # the batch axis.
+    return jax.tree.map(
+        lambda x: np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:]), gathered
+    )

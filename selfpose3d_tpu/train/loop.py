@@ -16,7 +16,14 @@ import numpy as np
 
 from selfpose3d_tpu.config import Config
 from selfpose3d_tpu.data.loader import PrefetchLoader, collate_branch
-from selfpose3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from selfpose3d_tpu.parallel.mesh import (
+    local_batch_size,
+    local_rows,
+    make_mesh,
+    process_allgather_tree,
+    replicate,
+    shard_batch,
+)
 from selfpose3d_tpu.train.step import (
     make_inference_step,
     make_ssv_train_step,
@@ -52,8 +59,9 @@ def train_epoch_ssv(
     if rng is None:
         rng = jax.random.PRNGKey(epoch)
 
-    n_dev = 1 if mesh is None else mesh.size
-    batch = cfg.TRAIN.BATCH_SIZE * n_dev
+    # per-HOST batch: the loader stripes data per process and shard_batch
+    # assembles the global batch as per-host x process_count
+    batch = local_batch_size(mesh, cfg.TRAIN.BATCH_SIZE)
 
     def make_batch(idxs):
         b1s, b2s, b3s = [], [], []
@@ -144,11 +152,15 @@ def train_epoch_supervised(
     batch_time, data_time = AverageMeter(), AverageMeter()
     step_fn = make_supervised_train_step(model)
 
-    n_dev = 1 if mesh is None else mesh.size
-    batch = cfg.TRAIN.BATCH_SIZE * n_dev
+    batch = local_batch_size(mesh, cfg.TRAIN.BATCH_SIZE)
 
     def make_batch(idxs):
-        frames = [dataset.get_frame(i, load_images=load_images) for i in idxs]
+        # seed=epoch: fresh RandAugment draws every epoch (advisor r3;
+        # ref: JointsDataset.py:148 draws from the global RNG each call)
+        frames = [
+            dataset.get_frame(i, load_images=load_images, seed=epoch)
+            for i in idxs
+        ]
         return collate_branch([f["views"] for f in frames])
 
     loader = PrefetchLoader(
@@ -197,15 +209,14 @@ def validate_3d(
     Returns the model-selection metric (mean AP over thresholds).
     """
     infer = make_inference_step(model)
-    n_dev = 1 if mesh is None else mesh.size
-    batch = cfg.TEST.BATCH_SIZE * n_dev
+    batch = local_batch_size(mesh, cfg.TEST.BATCH_SIZE)
 
     def make_batch(idxs):
         frames = [dataset.get_frame(i, load_images=load_images) for i in idxs]
         views = [f["views"] for f in frames]
         while len(views) < batch:  # pad the last batch to a full shape
             views.append(views[-1])
-        return collate_branch(views), len(idxs)
+        return collate_branch(views), list(idxs)
 
     loader = PrefetchLoader(
         len(dataset), batch, make_batch, shuffle=False, num_workers=cfg.WORKERS
@@ -215,16 +226,41 @@ def validate_3d(
     if mesh is not None:
         params, stats = replicate((params, stats), mesh)
 
-    all_preds, all_roots = [], []
-    for branch, n in loader:
+    multihost = jax.process_count() > 1
+    idx_list, pred_list, root_list = [], [], []
+    for branch, idxs in loader:
         if mesh is not None:
             branch = shard_batch(branch, mesh)
         pred, _, gc = infer(params, stats, branch)
-        pred = np.asarray(pred)[:n]
-        gc = np.asarray(gc)[:n]
-        for b in range(n):
-            all_preds.append(pred[b])
-            all_roots.append(gc[b])
+        # multi-host: the outputs are global arrays of which only this
+        # host's stripe is addressable — pull back exactly the rows this
+        # host fed (advisor r3: np.asarray on a non-fully-addressable
+        # global array errors, and evaluate needs ALL hosts' predictions)
+        pred = local_rows(pred) if multihost else np.asarray(pred)
+        gc = local_rows(gc) if multihost else np.asarray(gc)
+        n = len(idxs)
+        idx_list.extend(idxs)
+        pred_list.append(pred[:n])
+        root_list.append(gc[:n])
+
+    idx_arr = np.asarray(idx_list, np.int64)
+    preds = np.concatenate(pred_list) if pred_list else np.zeros((0,))
+    roots = np.concatenate(root_list) if root_list else np.zeros((0,))
+    if multihost:
+        # per-host stripe lengths can differ by 1: pad to the max before the
+        # fixed-shape allgather, then drop the padding via idx == -1
+        cap = -(-len(dataset) // jax.process_count())
+        pad = cap - len(idx_arr)
+        if pad > 0:
+            idx_arr = np.concatenate([idx_arr, np.full(pad, -1, np.int64)])
+            preds = np.concatenate([preds, np.repeat(preds[-1:], pad, 0)])
+            roots = np.concatenate([roots, np.repeat(roots[-1:], pad, 0)])
+        idx_arr, preds, roots = process_allgather_tree((idx_arr, preds, roots))
+        keep = idx_arr >= 0
+        idx_arr, preds, roots = idx_arr[keep], preds[keep], roots[keep]
+    order = np.argsort(idx_arr, kind="stable")
+    all_preds = [preds[i] for i in order]
+    all_roots = [roots[i] for i in order]
 
     metrics = dataset.evaluate(all_preds, all_roots, output_dir)
     aps = metrics.get("aps")

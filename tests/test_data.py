@@ -566,3 +566,76 @@ class TestPseudoInferenceDrivers:
         merged = P.merge_keypoints(str(bbox_json), str(kp_json), str(merged_json))
         assert len(merged["annotations"]) == 2
         assert all(a["num_keypoints"] == 17 for a in merged["annotations"])
+
+
+class TestEpochSeededAug:
+    def test_supervised_randaug_varies_by_epoch(self, tmp_path):
+        """Supervised-path RandAugment must draw differently across epochs
+        (advisor r4: the per-(frame, cam) seed previously had no epoch
+        component, applying identical augs every epoch — ref
+        JointsDataset.py:148 draws fresh global-RNG augs each call)."""
+        import cv2
+
+        from selfpose3d_tpu.data.panoptic import PanopticDataset
+
+        data_root = tmp_path / "panoptic"
+        data_root.mkdir()
+        img_path = data_root / "img.jpg"
+        rs = np.random.RandomState(0)
+        cv2.imwrite(str(img_path), rs.randint(0, 255, (64, 128, 3), np.uint8))
+        J = 15
+        rec = {
+            "key": "k", "image": str(img_path),
+            "joints_3d": [np.zeros((J, 3))],
+            "joints_3d_vis": [np.ones((J, 3))],
+            "joints_2d": [np.full((J, 2), 32.0)],
+            "joints_2d_vis": [np.ones((J, 2))],
+            "camera": {"R": np.eye(3), "T": np.zeros((3, 1)),
+                       "fx": 100.0, "fy": 100.0, "cx": 64.0, "cy": 32.0,
+                       "k": np.zeros((3, 1)), "p": np.zeros((2, 1))},
+        }
+        with open(data_root / "group_train_cam1_seedtest.pkl", "wb") as fh:
+            pickle.dump({"interval": 3, "db": [rec]}, fh)
+
+        cfg = load_config(overrides={
+            "DATA_DIR": str(tmp_path),
+            "DATASET": {"ROOT": "panoptic", "SUFFIX": "seedtest",
+                        "CAMERA_NUM_TOTAL": 1, "CAMERA_NUM": 1,
+                        "CAMERAS": [0], "APPLY_RANDAUG": True,
+                        "APPLY_CUTOUT": True},
+            "NETWORK": {"NUM_JOINTS": J, "IMAGE_SIZE": [128, 64],
+                        "HEATMAP_SIZE": [32, 16], "SIGMA": 2},
+        })
+        ds = PanopticDataset(cfg, "train", is_train=True)
+        img_e0 = ds.get_frame(0, seed=0)["views"][0]["image"]
+        img_e0b = ds.get_frame(0, seed=0)["views"][0]["image"]
+        img_e1 = ds.get_frame(0, seed=1)["views"][0]["image"]
+        np.testing.assert_array_equal(img_e0, img_e0b)  # reproducible
+        assert not np.array_equal(img_e0, img_e1)  # fresh augs per epoch
+
+
+class TestMeshHelpers:
+    def test_local_batch_and_rows_single_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from selfpose3d_tpu.parallel.mesh import (
+            batch_sharding, local_batch_size, local_rows,
+            make_mesh, process_allgather_tree,
+        )
+
+        mesh = make_mesh()
+        # single host: every mesh device is local -> per-host == global batch
+        assert local_batch_size(None, 4) == 4
+        assert local_batch_size(mesh, 2) == 2 * mesh.size
+
+        x = np.arange(mesh.size * 3 * 5, dtype=np.float32).reshape(
+            mesh.size * 3, 5
+        )
+        gx = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        np.testing.assert_array_equal(local_rows(gx), x)
+
+        t = (np.arange(4), np.ones((2, 3)))
+        out = process_allgather_tree(t)  # identity on one process
+        np.testing.assert_array_equal(out[0], t[0])
+        np.testing.assert_array_equal(out[1], t[1])

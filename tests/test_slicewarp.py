@@ -285,3 +285,125 @@ class TestPallasAdjoint:
         ))
         assert ref[0, 0].max() > 0  # row 0 genuinely receives mass
         np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+class TestAdjointGuards:
+    """Round-4 advisor fixes: pair-consistent flip flags under packing, and
+    the adjoint's per-column monotonicity guard."""
+
+    def _scatter_ref(self, shape, xs, ys, g_pt_mask):
+        """Masked 4-tap bilinear scatter reference (numpy)."""
+        B, H, W, J = shape
+        _, S, X, Y = xs.shape
+        N = S * X * Y
+        px, py = xs.reshape(B, N), ys.reshape(B, N)
+        g_pt = g_pt_mask.transpose(0, 1, 3, 4, 2).reshape(B, N, J)
+        x0, y0 = np.floor(px), np.floor(py)
+        ux, vy = px - x0, py - y0
+        ref = np.zeros((B, H * W, J), np.float32)
+        for dy, dx, w in ((0, 0, (1 - ux) * (1 - vy)), (0, 1, ux * (1 - vy)),
+                          (1, 0, (1 - ux) * vy), (1, 1, ux * vy)):
+            yi, xi = (y0 + dy).astype(int), (x0 + dx).astype(int)
+            valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            rows = np.clip(yi, 0, H - 1) * W + np.clip(xi, 0, W - 1)
+            for b in range(B):
+                np.add.at(ref[b], rows[b], g_pt[b] * (w[b] * valid[b])[:, None])
+        return ref.reshape(B, H, W, J)
+
+    def _column_viol(self, xs, ys, H, W):
+        """Independent numpy mirror of the adjoint's per-column hosted-y0
+        monotonicity check (flip=0 orientation). Returns viol (W,) bool."""
+        X, Y = xs.shape
+        host_of = lambda v: np.clip(np.floor(v), 0, W - 2).astype(int)
+        enc = np.zeros((X, W), np.float32)
+        for r in range(X):
+            sgn = 1.0 if xs[r, Y - 1] >= xs[r, 0] else -1.0
+            xm = xs[r] * sgn
+            for c in range(W):
+                cm = c * sgn
+                ks = [k for k in range(Y - 1) if xm[k] <= cm]
+                seg = max(ks) if ks else 0
+                q = seg if host_of(xs[r, seg]) == c else min(seg + 1, Y - 1)
+                enc[r, c] = np.clip(np.floor(ys[r, q]), -1, H - 1) + 1
+        viol = np.zeros(W, bool)
+        for c in range(W):
+            s = enc[:, c] if enc[X - 1, c] >= enc[0, c] else enc[::-1, c]
+            viol[c] = bool(np.any(np.diff(s) < 0))
+        return viol
+
+    def test_nonmonotone_column_drops_not_corrupts(self, rng):
+        """An interior non-monotone hosted-y0 column (endpoint direction
+        test can't see it) must have its gradient DROPPED, exactly matching
+        the scatter reference with those points' cotangents zeroed — never
+        misattributed. A monotone slice in the same call stays exact."""
+        B, H, W, J = 1, 64, 96, 2
+        S, X, Y = 2, 16, 32
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = np.zeros((B, S, X, Y), np.float32)
+        ys = np.zeros((B, S, X, Y), np.float32)
+        # slice 0: ys rises then falls across rows r -> non-monotone columns
+        xs[0, 0] = 5 + 2.4 * v + 0.15 * u
+        ys[0, 0] = 20 + 6 * np.sin(0.45 * u) + 0.1 * v
+        # slice 1: clean monotone fixture
+        xs[0, 1] = 5 + 2.4 * v + 0.3 * u
+        ys[0, 1] = 4 + 1.3 * u + 0.2 * v
+        hm = jnp.asarray(smooth_heatmap(rng, B, H, W, J)[:, :H, :W])
+        out, ok = sw.slice_warp_sample(hm, jnp.asarray(xs), jnp.asarray(ys))
+        ok_np = np.asarray(ok)
+        assert ok_np[0, 0].mean() > 0.9  # forward is fine on slice 0...
+        viol = self._column_viol(xs[0, 0], ys[0, 0], H, W)
+        assert viol.any()  # ...but its columns are adjoint-non-monotone
+
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+        gm = g * ok_np[:, :, None, :, :]
+        # zero cotangents of points whose HOST column is violating (slice 0)
+        host = np.clip(np.floor(xs[0, 0]), 0, W - 2).astype(int)
+        keep = np.where(viol[host], 0.0, 1.0)[None, None, None]  # (1,1,1,X,Y)
+        gm_drop = gm.copy()
+        gm_drop[:, 0] = gm[:, 0] * keep[0]
+        expected = self._scatter_ref((B, H, W, J), xs, ys, gm_drop)
+        full = self._scatter_ref((B, H, W, J), xs, ys, gm)
+        assert np.abs(full - expected).max() > 1e-3  # the drop is material
+
+        got = np.asarray(sw.slice_warp_adjoint(
+            (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(g), ok
+        ))
+        np.testing.assert_allclose(got, expected, atol=2e-5)
+
+    def test_pair_inconsistent_flips_forced_consistent(self, rng, monkeypatch):
+        """With slice-pair packing, pair-inconsistent flip flags must yield
+        the same forward AND backward as pair-forced flags (the kernel
+        applies the even slice's flag to both; the wrapper now forces the
+        adjoint to see the same thing)."""
+        monkeypatch.setattr(sw, "_use_pallas_bwd", lambda: True)
+        B, H, W, J = 1, 64, 96, 2
+        S, X, Y = 8, 32, 32  # square, SB=8 even, 2*Xp<=128 -> packing ON
+        assert sw.kernel_packs_pairs((X, Y), S)
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        base_x = 5 + 2.0 * v + 0.2 * u
+        base_y = 4 + 1.2 * u + 0.15 * v
+        xs = np.stack([base_x + 0.6 * s for s in range(S)])[None]
+        ys = np.stack([base_y + 0.4 * s for s in range(S)])[None]
+        hm = smooth_heatmap(rng, B, H, W, J)[:, :H, :W]
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+
+        flip_bad = jnp.asarray(np.array([[0, 1, 2, 3, 0, 1, 2, 3]], np.int32))
+        flip_ok = jnp.asarray(np.array([[0, 0, 2, 2, 0, 0, 2, 2]], np.int32))
+
+        def run(flip):
+            def loss(h):
+                out, ok = sw.slice_warp_sample(
+                    h, jnp.asarray(xs), jnp.asarray(ys), flip=flip
+                )
+                return jnp.sum(out * jnp.asarray(g)), (out, ok)
+
+            (l, (out, ok)), dhm = jax.value_and_grad(loss, has_aux=True)(
+                jnp.asarray(hm)
+            )
+            return np.asarray(out), np.asarray(ok), np.asarray(dhm)
+
+        out_b, ok_b, dhm_b = run(flip_bad)
+        out_g, ok_g, dhm_g = run(flip_ok)
+        np.testing.assert_array_equal(out_b, out_g)
+        np.testing.assert_array_equal(ok_b, ok_g)
+        np.testing.assert_allclose(dhm_b, dhm_g, atol=1e-6)

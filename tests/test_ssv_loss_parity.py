@@ -159,3 +159,91 @@ class TestSSVLossParity:
             assert got == pytest.approx(exp, rel=1e-4, abs=1e-7), (
                 f"{term}: jax {got:.8f} vs torch {exp:.8f}"
             )
+
+    def test_attention_path_matches_torch_oracle(self, loss_parity_setup):
+        """The flagship WITH_ATTN composition: attention-WEIGHTED
+        loss_pose3d_ssv + loss_attn_ssv vs the torch oracle, with identical
+        fixed attention maps injected on both sides
+        (ref: multi_person_posenet_ssv.py:469-483). Together with
+        test_five_terms_match_torch_oracle this pins 6/6 terms on the
+        flagship loss configuration."""
+        import dataclasses
+
+        cfg, (b1, b2, b3), _, variables, root_t, pose_t, inject = (
+            loss_parity_setup
+        )
+        cfg_attn = dataclasses.replace(cfg, WITH_ATTN=True)
+        model = get_model(cfg_attn)
+        B = b1.batch_size
+        V = b1.cam.batch_shape[1]
+        J = cfg.NETWORK.NUM_JOINTS
+        Hh, Wh = b1.input_heatmaps.shape[2], b1.input_heatmaps.shape[3]
+
+        rs = np.random.RandomState(23)
+        attns = rs.uniform(0.05, 1.0, size=(2 * B, V, Hh, Wh, J)).astype(
+            np.float32
+        )
+
+        _, _, gc_j, losses_j = model.apply(
+            variables, b1, b2, b3,
+            train_posenet_stage=True, use_l1_stage=True, train=True,
+            bn_eval=True, synth_inject=inject,
+            attn_inject=jnp.asarray(attns),
+            method="ssv_losses",
+        )
+
+        def hm_list(br):
+            hm = np.asarray(br.input_heatmaps)
+            return [
+                torch.tensor(hm[:, v].transpose(0, 3, 1, 2),
+                             dtype=torch.float32)
+                for v in range(hm.shape[1])
+            ]
+
+        def t2d(br):
+            return torch.tensor(
+                np.asarray(br.target_2d).transpose(0, 1, 4, 2, 3),
+                dtype=torch.float32,
+            )
+
+        cams = _cams_to_torch(b1.cam)
+        tr = lambda br: torch.tensor(np.asarray(br.trans), dtype=torch.float32)
+        jt = lambda br: torch.tensor(np.asarray(br.joints), dtype=torch.float32)
+        jv = lambda br: torch.tensor(np.asarray(br.joints_vis), dtype=torch.float32)
+        synth_t = {
+            "roots": torch.tensor(
+                inject["roots"].reshape(3, B, *inject["roots"].shape[1:])
+            ),
+            "counts": inject["counts"],
+            "noise": torch.tensor(
+                inject["noise"].reshape(3, B, -1, *inject["noise"].shape[-2:])
+            ),
+        }
+        # jax layout (2B, V, H, W, J) -> per-branch torch (B, V, J, H, W)
+        a_t = attns.transpose(0, 1, 4, 2, 3)
+        attns_t = (
+            torch.tensor(a_t[:B]), torch.tensor(a_t[B:])
+        )
+
+        oracle = TorchSSVLossPipeline(cfg_attn, root_t, pose_t)
+        with torch.no_grad():
+            losses_t, gc_t = oracle.losses(
+                hm_list(b1), hm_list(b2), hm_list(b3),
+                t2d(b1), t2d(b2), t2d(b3),
+                cams, tr(b1), tr(b2), tr(b3),
+                torch.tensor(np.asarray(b1.orig_wh), dtype=torch.float32),
+                jt(b1), jv(b1), jt(b2), jv(b2),
+                synth_t, attns=attns_t,
+            )
+
+        np.testing.assert_array_equal(
+            np.asarray(gc_j)[..., 3], gc_t[..., 3].numpy()
+        )
+        for term in ("loss_2d", "loss_root_syn", "loss_root_reg",
+                     "loss_pose3d_ssv", "loss_attn_ssv",
+                     "loss_pose3d_l1_ssv"):
+            got = float(losses_j[term])
+            exp = float(losses_t[term])
+            assert got == pytest.approx(exp, rel=1e-4, abs=1e-7), (
+                f"{term}: jax {got:.8f} vs torch {exp:.8f}"
+            )

@@ -479,12 +479,14 @@ class TorchSSVLossPipeline:
 
     def losses(self, hm1, hm2, hm3, t2d1, t2d2, t2d3, cams,
                trans1, trans2, trans3, orig_wh, joints1, vis1, joints2, vis2,
-               synth):
+               synth, attns=None):
         """All six terms for the rootnet+posenet+L1 stage.
 
         hm*/t2d*: per-branch [view](B, J, H, W) lists / (B, V, J, H, W);
         synth: dict with per-branch 'roots' (3, B, P, 3), 'counts' (3,),
-        'noise' (3, B, V, H, W).
+        'noise' (3, B, V, H, W); attns: optional (attns1, attns2) each
+        (B, V, J, H, W) — enables the WITH_ATTN composition
+        (ref: multi_person_posenet_ssv.py:469-483).
         """
         c = self.c
         F_ = F
@@ -546,7 +548,19 @@ class TorchSSVLossPipeline:
 
         hm_21, kps21 = cross_render_and_kps(pred2, trans1)  # pred2 -> frame1
         hm_12, kps12 = cross_render_and_kps(pred1, trans2)  # pred1 -> frame2
-        out["loss_pose3d_ssv"] = mse(t2d1, hm_21) + mse(t2d2, hm_12)
+        if attns is not None:
+            a1, a2 = attns
+            # (ref: :469-476) attention-weighted elementwise MSE
+            out["loss_pose3d_ssv"] = (
+                (F_.mse_loss(t2d1, hm_21, reduction="none") * a1).mean()
+                + (F_.mse_loss(t2d2, hm_12, reduction="none") * a2).mean()
+            )
+            # (ref: :479-483) attention pulled to 1
+            out["loss_attn_ssv"] = (
+                mse(a1, torch.ones_like(a1)) + mse(a2, torch.ones_like(a2))
+            ) * c.ATTN_WEIGHT
+        else:
+            out["loss_pose3d_ssv"] = mse(t2d1, hm_21) + mse(t2d2, hm_12)
         out["loss_pose3d_l1_ssv"] = (
             self._l1_matching(kps12, joints2, vis2, valid_counts)
             + self._l1_matching(kps21, joints1, vis1, valid_counts)
