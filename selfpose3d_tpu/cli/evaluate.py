@@ -33,7 +33,93 @@ def parse_args():
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--platform", type=str, default="",
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--dry-assets", action="store_true",
+                   help="preflight only: validate dataset layout + checkpoint "
+                        "key manifest against the released formats, no model "
+                        "execution — so the first real parity run can't fail "
+                        "on plumbing (ref runbook: README 'Real-data parity')")
     return p.parse_args()
+
+
+def dry_assets_check(cfg, test_file: str, logger) -> int:
+    """Validate assets without running the model. Returns a process exit
+    code (0 = everything the real run needs is in place).
+
+    Checks:
+      1. the test dataset constructs from cfg.DATA_DIR (db pickle or raw
+         sequence layout) and its first frame's image file is readable —
+         the same code path the real evaluation will take;
+      2. ``test_file`` (a released .pth.tar) converts strictly into the
+         model's parameter tree: every leaf covered, shapes equal
+         (train/checkpoint.py strict-load semantics) — the param tree is
+         built via jax.eval_shape, so no device compute happens.
+    """
+    import numpy as np
+
+    failures = []
+
+    # ---- 1. dataset layout, via the real constructor
+    try:
+        from selfpose3d_tpu.data.registry import get_dataset
+
+        ds = get_dataset(
+            cfg, cfg.DATASET.TEST_DATASET, cfg.DATASET.TEST_SUBSET, False
+        )
+        n = len(ds)
+        if n == 0:
+            failures.append("dataset constructed but contains 0 frames")
+        else:
+            logger.info("dataset ok: %d frames", n)
+            rec = getattr(ds, "db", None)
+            if rec:
+                img = rec[0].get("image", "")
+                from selfpose3d_tpu.utils.zipreader import imread_any
+                import cv2
+
+                probe = imread_any(img, cv2.IMREAD_COLOR)
+                if probe is None:
+                    failures.append(f"first image unreadable: {img}")
+                else:
+                    logger.info(
+                        "image probe ok: %s (%dx%d)", img,
+                        probe.shape[1], probe.shape[0],
+                    )
+    except Exception as e:
+        failures.append(f"dataset layout: {type(e).__name__}: {e}")
+
+    # ---- 2. checkpoint key manifest vs the model parameter tree
+    if test_file:
+        try:
+            import jax
+
+            from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+            from selfpose3d_tpu.models import get_model
+            from selfpose3d_tpu.train import checkpoint as ckpt
+
+            model = get_model(cfg)
+            branch, _ = make_synthetic_branch(
+                cfg, batch_size=1, with_images=True
+            )
+            rngs = {"params": jax.random.PRNGKey(0),
+                    "synth": jax.random.PRNGKey(1)}
+            shapes = jax.eval_shape(lambda b: model.init(rngs, b), branch)
+            zeros = jax.tree.map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes
+            )
+            ckpt.load_torch_stage(dict(zeros), test_file, "all")
+            logger.info("checkpoint manifest ok: %s covers the full model "
+                        "tree with matching shapes", test_file)
+        except Exception as e:
+            failures.append(f"checkpoint manifest: {type(e).__name__}: {e}")
+    else:
+        logger.info("no --test-file given; skipping checkpoint manifest check")
+
+    if failures:
+        for f in failures:
+            logger.error("DRY-ASSETS FAIL: %s", f)
+        return 1
+    logger.info("DRY-ASSETS OK: dataset + checkpoint plumbing validated")
+    return 0
 
 
 def main():
@@ -42,6 +128,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     cfg = load_config(args.cfg)
     logger, output_dir, _ = create_logger(cfg, args.cfg, "eval")
+    if args.dry_assets:
+        import sys
+
+        sys.exit(dry_assets_check(cfg, args.test_file, logger))
     logger.info("devices: %s", jax.devices())
 
     model = get_model(cfg)

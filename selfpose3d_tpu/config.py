@@ -130,6 +130,20 @@ class TrainConfig:
     RESUME: bool = False
     BATCH_SIZE: int = 8
     SHUFFLE: bool = True
+    # PoseNet candidate-bucket dispatch during TRAINING.
+    #   'none' (default): one compiled step at full MAX_PEOPLE_NUM
+    #     candidates — reference-equivalent worst case. The in-graph
+    #     nn.switch used at inference is NOT taken under grad: the
+    #     multi-branch TRAIN graph OOMs the remote compiler
+    #     (ARCHITECTURE.md "Training path").
+    #   'meta': pick a CANDIDATE_BUCKETS bucket per step on the HOST from
+    #     the batch's person count (max num_person + 1 slack) and run a
+    #     per-bucket compiled single-branch graph — PoseNet train cost then
+    #     scales with the scene like the reference's valid-candidate loop.
+    #     Documented deviation: above-threshold proposals beyond the bucket
+    #     (RootNet false positives past people-count+1) are dropped from
+    #     the SSV losses; the reference processes all of them.
+    BUCKET_DISPATCH: str = "none"
 
 
 @dataclass

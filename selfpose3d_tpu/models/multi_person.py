@@ -262,12 +262,21 @@ class MultiPersonPoseNetSSV(nn.Module):
         synth_inject: Optional[dict] = None,
         bn_eval: bool = False,
         attn_inject: Optional[jnp.ndarray] = None,
+        k_cap: Optional[int] = None,
     ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray], Dict[str, jnp.ndarray]]:
         """The six SSV loss terms (ref: multi_person_posenet_ssv.py:197-501).
 
         ``train_posenet_stage`` / ``use_l1_stage`` are the static epoch gates
         (epoch >= INIT_TRAIN_EPOCHS_ROOTNET / L1_EPOCH); recompiling once per
         stage boundary beats carrying traced epoch conditionals.
+
+        ``k_cap``: static candidate cap for the PoseNet stage — the
+        train-step-level bucket dispatch (TRAIN.BUCKET_DISPATCH='meta')
+        compiles one single-branch graph per bucket and slices the
+        score-sorted proposals to ``k_cap`` here, instead of the in-graph
+        nn.switch (whose multi-branch TRAIN graph blows up remote
+        compilation). Valid proposals beyond ``k_cap`` are dropped — the
+        documented deviation of that mode (config.py TRAIN.BUCKET_DISPATCH).
 
         TPU-first restructuring: the reference runs each network once per
         augmentation branch (15 sequential ResNet passes per step,
@@ -375,41 +384,54 @@ class MultiPersonPoseNetSSV(nn.Module):
         K = c.MULTI_PERSON.MAX_PEOPLE_NUM
         J = c.NETWORK.NUM_JOINTS
         pred2_out = None
+        # host-dispatch candidate cap: static slice of the score-sorted
+        # proposals, single-branch PoseNet graph
+        Kp = int(k_cap) if k_cap else K
+        bucketed = k_cap is None
+        gc_pose = grid_centers[:, :Kp]
 
         if train_posenet_stage:
             single = c.NETWORK.SINGLE_AUG_TRAINING_POSENET
             hm_wh = (heatmaps_all.shape[3], heatmaps_all.shape[2])
 
+            def pad_pred(p):
+                """(B, Kp, J, 5) -> (B, K, J, 5) fixed output shape."""
+                if Kp == K:
+                    return p
+                return jnp.pad(p, ((0, 0), (0, K - Kp), (0, 0), (0, 0)))
+
             if single:
                 pred1, valid = self.pose_net(
                     heatmaps1, branch1.cam, branch1.trans, branch1.orig_wh,
-                    grid_centers, hflip=branch1.hflip, train=net_train,
+                    gc_pose, hflip=branch1.hflip, train=net_train,
+                    bucketed=bucketed,
                 )
                 any_valid = (jnp.sum(valid) > 0).astype(jnp.float32)
                 kps = project_points_with_trans(
-                    pred1.reshape(B, 1, K * J, 3), branch1.cam, branch1.trans
-                ).reshape(B, branch1.num_views, K, J, 2)
+                    pred1.reshape(B, 1, Kp * J, 3), branch1.cam, branch1.trans
+                ).reshape(B, branch1.num_views, Kp, J, 2)
                 hm = render_gaussian_heatmaps(
                     kps, hm_wh, sigma=3.0, coord_scale=0.25,
-                    mask=jnp.broadcast_to(valid[:, None], (B, branch1.num_views, K)),
+                    mask=jnp.broadcast_to(valid[:, None], (B, branch1.num_views, Kp)),
                 )
                 hm11 = jnp.transpose(hm, (0, 1, 3, 4, 2))
                 losses["loss_pose3d_ssv"] = _mse(branch1.target_2d, hm11) * any_valid
                 pred2_out = jax.lax.stop_gradient(
-                    jnp.concatenate(
+                    pad_pred(jnp.concatenate(
                         [pred1, jnp.broadcast_to(
-                            grid_centers[:, :, None, 3:], (B, K, J, 2)
+                            gc_pose[:, :, None, 3:], (B, Kp, J, 2)
                         )], axis=-1,
-                    )
+                    ))
                 )
                 return pred2_out, heatmaps3, grid_centers, losses
 
             # one PoseNet pass over both augmented branches (2B)
-            gc_tiled = jnp.concatenate([grid_centers, grid_centers], axis=0)
+            gc_tiled = jnp.concatenate([gc_pose, gc_pose], axis=0)
             hm12_in = jnp.concatenate([heatmaps1, heatmaps2], axis=0)
             pred_12, valid_12 = self.pose_net(
                 hm12_in, branches_12.cam, branches_12.trans, branches_12.orig_wh,
                 gc_tiled, hflip=branches_12.hflip, train=net_train,
+                bucketed=bucketed,
             )
             pred1, pred2 = pred_12[:B], pred_12[B:]
             valid = valid_12[:B]
@@ -417,15 +439,15 @@ class MultiPersonPoseNetSSV(nn.Module):
 
             # cross-projection fold: pred2 -> branch1's frame, pred1 -> branch2's
             # (ref: :432-437). Cameras are shared; only trans/hflip differ.
-            pred_cross = jnp.concatenate([pred2, pred1], axis=0)  # (2B, K, J, 3)
+            pred_cross = jnp.concatenate([pred2, pred1], axis=0)  # (2B, Kp, J, 3)
             kps_cross = project_points_with_trans(
-                pred_cross.reshape(2 * B, 1, K * J, 3),
+                pred_cross.reshape(2 * B, 1, Kp * J, 3),
                 branches_12.cam, branches_12.trans,
-            ).reshape(2 * B, branch1.num_views, K, J, 2)
+            ).reshape(2 * B, branch1.num_views, Kp, J, 2)
             hm_cross = render_gaussian_heatmaps(
                 kps_cross, hm_wh, sigma=3.0, coord_scale=0.25,
                 mask=jnp.broadcast_to(
-                    valid_12[:, None], (2 * B, branch1.num_views, K)
+                    valid_12[:, None], (2 * B, branch1.num_views, Kp)
                 ),
             )
             hm_cross = jnp.transpose(hm_cross, (0, 1, 3, 4, 2))  # (2B, V, H, W, J)
@@ -457,11 +479,11 @@ class MultiPersonPoseNetSSV(nn.Module):
                 ) * c.L1_WEIGHT * any_valid
 
             pred2_out = jax.lax.stop_gradient(
-                jnp.concatenate(
+                pad_pred(jnp.concatenate(
                     [pred2, jnp.broadcast_to(
-                        grid_centers[:, :, None, 3:], (B, K, J, 2)
+                        gc_pose[:, :, None, 3:], (B, Kp, J, 2)
                     )], axis=-1,
-                )
+                ))
             )
         else:
             losses["loss_pose3d_ssv"] = jnp.float32(0.0)

@@ -61,6 +61,7 @@ class PoseNet(nn.Module):
         grid_centers: jnp.ndarray,
         hflip: Optional[jnp.ndarray] = None,
         train: bool = False,
+        bucketed: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """All-candidate pose regression.
 
@@ -71,13 +72,19 @@ class PoseNet(nn.Module):
           orig_wh:      (B, V, 2)
           grid_centers: (B, K, 5) proposals [x, y, z, flag, score]
           hflip:        optional (B,)
+          bucketed:     False skips the in-graph nn.switch bucket dispatch
+                        and runs the given K directly — used by the
+                        train-step-level host dispatch (TRAIN.BUCKET_DISPATCH),
+                        whose per-bucket compiled graphs must stay
+                        single-branch (the multi-branch TRAIN graph blows up
+                        remote compilation; ARCHITECTURE.md).
         Returns:
           pred:  (B, K, J, 3) world-mm joints (zeros for invalid candidates)
           valid: (B, K) float candidate mask (flag >= 0)
         """
         K = grid_centers.shape[1]
         buckets = tuple(b for b in self.buckets if b < K) + (K,)
-        if len(buckets) == 1:
+        if len(buckets) == 1 or not bucketed:
             return self._run(
                 heatmaps, cam, trans, orig_wh, grid_centers, hflip, train
             )

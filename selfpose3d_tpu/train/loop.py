@@ -51,11 +51,35 @@ def train_epoch_ssv(
     meters: Dict[str, AverageMeter] = {}
     batch_time, data_time = AverageMeter(), AverageMeter()
 
+    posenet_stage = epoch >= cfg.NETWORK.INIT_TRAIN_EPOCHS_ROOTNET
+    l1_stage = epoch >= cfg.TRAIN.L1_EPOCH
     step_fn = make_ssv_train_step(
-        model,
-        train_posenet_stage=epoch >= cfg.NETWORK.INIT_TRAIN_EPOCHS_ROOTNET,
-        use_l1_stage=epoch >= cfg.TRAIN.L1_EPOCH,
+        model, train_posenet_stage=posenet_stage, use_l1_stage=l1_stage
     )
+    # host-level PoseNet bucket dispatch (TRAIN.BUCKET_DISPATCH='meta'):
+    # pick the per-bucket compiled single-branch step from the batch's
+    # person count (see config.py) — the in-graph switch is inference-only
+    K_max = cfg.MULTI_PERSON.MAX_PEOPLE_NUM
+    dispatch_buckets = ()
+    if (
+        cfg.TRAIN.BUCKET_DISPATCH == "meta"
+        and posenet_stage
+        and cfg.MULTI_PERSON.CANDIDATE_BUCKETS
+    ):
+        dispatch_buckets = tuple(
+            b for b in cfg.MULTI_PERSON.CANDIDATE_BUCKETS if b < K_max
+        ) + (K_max,)
+
+    def pick_step(b3):
+        if not dispatch_buckets:
+            return step_fn
+        need = min(int(np.max(np.asarray(b3.num_person))) + 1, K_max)
+        k = next(b for b in dispatch_buckets if b >= need)
+        return make_ssv_train_step(
+            model, train_posenet_stage=posenet_stage, use_l1_stage=l1_stage,
+            k_cap=None if k == K_max else k,
+        )
+
     if rng is None:
         rng = jax.random.PRNGKey(epoch)
 
@@ -96,9 +120,10 @@ def train_epoch_ssv(
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             prof_active = False
+        fn = pick_step(b3)
         if mesh is not None:
             b1, b2, b3 = (shard_batch(b, mesh) for b in (b1, b2, b3))
-        state, metrics = step_fn(state, b1, b2, b3, rng)
+        state, metrics = fn(state, b1, b2, b3, rng)
         if i % cfg.PRINT_FREQ == 0:
             jax.block_until_ready(metrics["loss"])
             batch_time.update(time.time() - end)
@@ -198,6 +223,7 @@ def validate_3d(
     output_dir: str = "",
     load_images: bool = True,
     mesh=None,
+    metrics_out: Optional[dict] = None,
 ) -> Optional[float]:
     """Validation pass + dataset.evaluate (ref: function.py:352-490).
 
@@ -263,6 +289,8 @@ def validate_3d(
     all_roots = [roots[i] for i in order]
 
     metrics = dataset.evaluate(all_preds, all_roots, output_dir)
+    if metrics_out is not None:
+        metrics_out.update(metrics)
     aps = metrics.get("aps")
     if aps is None:
         if "avg_pcp" in metrics:  # shelf/campus PCP protocol (ref: :477-487)

@@ -21,21 +21,28 @@ from selfpose3d_tpu.train.train_state import TrainState
 _STEP_CACHE: dict = {}
 
 
-def make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
+def make_ssv_train_step(
+    model, train_posenet_stage: bool, use_l1_stage: bool, k_cap=None
+):
     """Build the jitted SSV train step for the current epoch stage gates.
 
-    Cached per (model, gates): rebuilding a jit wrapper every epoch would
-    recompile an identical graph at each stage boundary crossing and back.
+    Cached per (model, gates, k_cap): rebuilding a jit wrapper every epoch
+    would recompile an identical graph at each stage boundary crossing and
+    back. ``k_cap`` is the static PoseNet candidate cap of the host-level
+    bucket dispatch (TRAIN.BUCKET_DISPATCH='meta'); each cap is its own
+    compiled single-branch graph.
     """
-    key = (id(model), "ssv", train_posenet_stage, use_l1_stage)
+    key = (id(model), "ssv", train_posenet_stage, use_l1_stage, k_cap)
     if key in _STEP_CACHE:
         return _STEP_CACHE[key]
-    step = _make_ssv_train_step(model, train_posenet_stage, use_l1_stage)
+    step = _make_ssv_train_step(model, train_posenet_stage, use_l1_stage, k_cap)
     _STEP_CACHE[key] = step
     return step
 
 
-def _make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
+def _make_ssv_train_step(
+    model, train_posenet_stage: bool, use_l1_stage: bool, k_cap=None
+):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
@@ -54,6 +61,7 @@ def _make_ssv_train_step(model, train_posenet_stage: bool, use_l1_stage: bool):
                 train_posenet_stage=train_posenet_stage,
                 use_l1_stage=use_l1_stage,
                 train=True,
+                k_cap=k_cap,
                 method="ssv_losses",
                 rngs={"synth": step_rng},
                 mutable=["batch_stats"],

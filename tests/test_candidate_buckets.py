@@ -109,3 +109,90 @@ class TestCandidateBuckets:
         )
         for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st0)):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+class TestHostBucketDispatch:
+    """TRAIN.BUCKET_DISPATCH='meta': per-step compiled single-branch graphs
+    with a static candidate cap (the in-graph switch TRAIN graph OOMs remote
+    compilation, ARCHITECTURE.md). When every valid candidate fits under the
+    cap, losses must equal the full-K step's exactly."""
+
+    def test_kcap_losses_match_full_k(self):
+        import dataclasses
+
+        from selfpose3d_tpu.models import get_model
+
+        # USE_GT proposals: valid count == num_person, so a scene with 2
+        # people fits k_cap=2 exactly
+        cfg = small_cfg(
+            NETWORK={"USE_GT": True},
+            MULTI_PERSON={"MAX_PEOPLE_NUM": 4},
+        )
+        model = get_model(cfg)
+        B = 2
+        b1, _ = make_synthetic_branch(cfg, batch_size=B, num_person=2,
+                                      with_images=False, rot_deg=10.0, seed=3)
+        b2, _ = make_synthetic_branch(cfg, batch_size=B, num_person=2,
+                                      with_images=False, rot_deg=-8.0, seed=3)
+        b3, _ = make_synthetic_branch(cfg, batch_size=B, num_person=2,
+                                      with_images=False, seed=3)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)},
+            b3,
+        )
+
+        def run(k_cap):
+            pred2, _, _, losses = model.apply(
+                variables, b1, b2, b3,
+                train_posenet_stage=True, use_l1_stage=True, train=True,
+                bn_eval=True, k_cap=k_cap,
+                rngs={"synth": jax.random.PRNGKey(5)},
+                method="ssv_losses",
+            )
+            return pred2, losses
+
+        pred_full, losses_full = run(None)
+        pred_cap, losses_cap = run(2)
+        assert set(losses_full) == set(losses_cap)
+        for k in losses_full:
+            np.testing.assert_allclose(
+                np.asarray(losses_cap[k]), np.asarray(losses_full[k]),
+                rtol=1e-5, atol=1e-7, err_msg=k,
+            )
+        # padded candidate slots carry no pose
+        assert pred_cap.shape == pred_full.shape
+        np.testing.assert_allclose(
+            np.asarray(pred_cap)[:, :2, :, :3],
+            np.asarray(pred_full)[:, :2, :, :3], atol=1e-5,
+        )
+        assert np.all(np.asarray(pred_cap)[:, 2:, :, :3] == 0)
+
+    def test_train_step_dispatch_runs(self):
+        """A k_cap'd compiled train step steps and yields finite losses."""
+        from selfpose3d_tpu.models import get_model
+        from selfpose3d_tpu.train.step import make_ssv_train_step
+        from selfpose3d_tpu.train.train_state import create_train_state
+
+        cfg = small_cfg(
+            NETWORK={"USE_GT": True},
+            MULTI_PERSON={"MAX_PEOPLE_NUM": 4},
+        )
+        model = get_model(cfg)
+        B = 2
+        b1, _ = make_synthetic_branch(cfg, batch_size=B, num_person=2,
+                                      with_images=False, rot_deg=10.0, seed=3)
+        b2, _ = make_synthetic_branch(cfg, batch_size=B, num_person=2,
+                                      with_images=False, rot_deg=-8.0, seed=3)
+        b3, _ = make_synthetic_branch(cfg, batch_size=B, num_person=2,
+                                      with_images=False, seed=3)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)},
+            b3,
+        )
+        state = create_train_state(cfg, variables, steps_per_epoch=10)
+        step = make_ssv_train_step(
+            model, train_posenet_stage=True, use_l1_stage=False, k_cap=2
+        )
+        state2, metrics = step(state, b1, b2, b3, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == int(np.asarray(1))

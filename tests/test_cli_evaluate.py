@@ -174,3 +174,33 @@ class TestEvaluateCLI:
             assert r["preds_3d"].shape == (K, J, 5)
             assert np.isfinite(r["preds_3d"]).all()
             assert r["roots_3d_pred"].shape == (K, 5)
+
+    def test_dry_assets_preflight(self, mini_panoptic, monkeypatch):
+        """--dry-assets validates dataset + checkpoint plumbing without
+        running the model, and fails loudly on a wrong checkpoint."""
+        tmp, cfg_path, ckpt_path, out_dir = mini_panoptic
+        from selfpose3d_tpu.cli import evaluate as eval_cli
+
+        monkeypatch.setattr(sys, "argv", [
+            "sp3d-evaluate", "--cfg", str(cfg_path),
+            "--test-file", str(ckpt_path), "--platform", "cpu",
+            "--dry-assets",
+        ])
+        with pytest.raises(SystemExit) as ex:
+            eval_cli.main()
+        assert ex.value.code == 0
+
+        # negative: a checkpoint missing the pose_net must fail preflight
+        sd = torch.load(str(ckpt_path), map_location="cpu",
+                        weights_only=False)["state_dict"]
+        bad = {k: v for k, v in sd.items() if "pose_net" not in k}
+        bad_path = tmp / "bad_ckpt.pth.tar"
+        torch.save({"state_dict": bad}, str(bad_path))
+        monkeypatch.setattr(sys, "argv", [
+            "sp3d-evaluate", "--cfg", str(cfg_path),
+            "--test-file", str(bad_path), "--platform", "cpu",
+            "--dry-assets",
+        ])
+        with pytest.raises(SystemExit) as ex:
+            eval_cli.main()
+        assert ex.value.code == 1
