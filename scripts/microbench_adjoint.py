@@ -50,18 +50,23 @@ def main():
     ok = jnp.ones((B, S, X, Y), jnp.float32)
 
     res = {}
+
+    def rec(name, val):
+        res[name] = val
+        print(json.dumps({name: val}), flush=True)
+
     f_fwd = jax.jit(lambda h, a, b: jnp.sum(
         slice_warp_sample(h, a, b, table_dtype=jnp.bfloat16)[0]
         .astype(jnp.float32)))
-    res["fwd_packed_ms"] = round(timeit(f_fwd, hm, xs, ys), 1)
+    rec("fwd_packed_ms", round(timeit(f_fwd, hm, xs, ys), 1))
 
     f_adj = jax.jit(lambda a, b, gg, o: jnp.sum(
         slice_warp_adjoint((B, H, W, J), a, b, gg, o)))
-    res["adj_J15_ms"] = round(timeit(f_adj, xs, ys, g, ok), 1)
+    rec("adj_J15_ms", round(timeit(f_adj, xs, ys, g, ok), 1))
 
     f_adj1 = jax.jit(lambda a, b, gg, o: jnp.sum(
         slice_warp_adjoint((B, H, W, 1), a, b, gg, o)))
-    res["adj_J1_ms"] = round(timeit(f_adj1, xs, ys, g1, ok), 1)
+    rec("adj_J1_ms", round(timeit(f_adj1, xs, ys, g1, ok), 1))
 
     def vjp_loss(h, a, b):
         out, okk = slice_warp_sample(h, a, b, table_dtype=jnp.bfloat16)
@@ -69,7 +74,10 @@ def main():
 
     f_vjp = jax.jit(lambda h, a, b: jnp.sum(
         jax.grad(vjp_loss)(h, a, b)))
-    res["vjp_full_ms"] = round(timeit(f_vjp, hm, xs, ys), 1)
+    try:
+        rec("vjp_full_ms", round(timeit(f_vjp, hm, xs, ys), 1))
+    except Exception as e:  # remote-compile size limits etc.
+        print(f"vjp_full failed: {e}", flush=True)
 
     per_ch = (res["adj_J15_ms"] - res["adj_J1_ms"]) / (J - 1)
     res["per_channel_ms"] = round(per_ch, 2)

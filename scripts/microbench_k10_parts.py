@@ -43,14 +43,21 @@ def flops_conv3d(spatial, k, cin, cout):
 
 def bench(name, mod, shape, gflop=None):
     x = jax.random.uniform(key, shape, DT)
-    vs = mod.init(key, x, False) if not isinstance(mod, V2VNet) else mod.init(
-        key, x, train=False)
+    # init on a 2-sample slice: uncompiled init at BK=80 holds every
+    # intermediate live and OOMs the chip (params are batch-agnostic)
+    x_init = x[:2]
+    vs = (
+        mod.init(key, x_init, False)
+        if not isinstance(mod, V2VNet)
+        else mod.init(key, x_init, train=False)
+    )
     f = jax.jit(lambda v, a: jnp.sum(mod.apply(v, a, False).astype(jnp.float32)))
     ms = timeit(f, vs, x)
     entry = {"ms": round(ms, 1)}
     if gflop:
         entry["TFs"] = round(gflop / ms, 1)  # GFLOP/ms == TFLOP/s
     results[name] = entry
+    print(json.dumps({name: entry}), flush=True)
 
 
 S64, S32, S16 = 64 ** 3, 32 ** 3, 16 ** 3
@@ -94,6 +101,7 @@ ys = jnp.asarray(np.ascontiguousarray(np.broadcast_to(ys, (B, S, X, Y))).astype(
 f_k1 = jax.jit(lambda h, a, b: jnp.sum(
     slice_warp_sample(h, a, b, table_dtype=jnp.bfloat16)[0].astype(jnp.float32)))
 results["kernel_1view_B8_bf16_ms"] = {"ms": round(timeit(f_k1, hm1, xs, ys), 1)}
+print(json.dumps({"kernel_1view_B8_bf16_ms": results["kernel_1view_B8_bf16_ms"]}), flush=True)
 
 # the 5-view scan accumulate as in sample_and_aggregate_slicewarp
 def scan_acc(h, a, b):
@@ -107,6 +115,7 @@ def scan_acc(h, a, b):
 
 results["kernel_5view_scan_f32acc_ms"] = {
     "ms": round(timeit(jax.jit(scan_acc), hm1, xs, ys), 1)}
+print(json.dumps({"kernel_5view_scan_f32acc_ms": results["kernel_5view_scan_f32acc_ms"]}), flush=True)
 
 def scan_acc16(h, a, b):
     def step(acc, _):
@@ -119,6 +128,7 @@ def scan_acc16(h, a, b):
 
 results["kernel_5view_scan_bf16acc_ms"] = {
     "ms": round(timeit(jax.jit(scan_acc16), hm1, xs, ys), 1)}
+print(json.dumps({"kernel_5view_scan_bf16acc_ms": results["kernel_5view_scan_bf16acc_ms"]}), flush=True)
 
 # flip-pitch metric computation (per view; part of the wrapper)
 def pitch(a, b):

@@ -30,7 +30,47 @@ def parse_args():
                         "headless equivalent of the reference's vedo render, "
                         "ref tools/visualize.py:250-268,493-600); falls back "
                         "to plain skeleton plots when images are missing")
+    p.add_argument("--mesh-dir", default="",
+                   help="optional SMPL fit-mesh root for --scene: per frame "
+                        "a subdirectory <mesh-dir>/<frame key> (or zero-"
+                        "padded frame index) holding per-person .obj meshes "
+                        "(SMPL convention: meters, y-down — rotated x180 and "
+                        "scaled x1000 like the reference, ref "
+                        "tools/visualize.py:312). Frames without a mesh dir "
+                        "render skeleton-only.")
     return p.parse_args()
+
+
+def _frame_meshes(mesh_dir: str, rec, frame_idx: int, order):
+    """Load + transform this frame's per-person meshes, track-ordered.
+    Returns [] when assets are absent (clean skip)."""
+    if not mesh_dir:
+        return []
+    from selfpose3d_tpu.utils.vis import load_obj_mesh
+
+    candidates = [os.path.join(mesh_dir, f"{frame_idx:06d}")]
+    key = rec.get("key")
+    if key:
+        candidates.insert(0, os.path.join(mesh_dir, str(key)))
+    d = next((c for c in candidates if os.path.isdir(c)), None)
+    if d is None:
+        return []
+    objs = sorted(p for p in os.listdir(d) if p.endswith(".obj"))
+    meshes = []
+    for p in objs:
+        try:
+            v, f = load_obj_mesh(os.path.join(d, p))
+        except (OSError, ValueError):
+            continue
+        if len(v) == 0 or len(f) == 0:
+            continue
+        # reference transform: Mesh(...).rotateX(180).scale(1000)
+        v = v * np.array([1.0, -1.0, -1.0], np.float32) * 1000.0
+        meshes.append((v, f))
+    # track-order the meshes like the reference (visualize.py:316)
+    if len(order) and len(meshes):
+        meshes = [meshes[i] for i in order if i < len(meshes)]
+    return meshes
 
 
 def _scene_images(rec, size=(640, 360)):
@@ -91,7 +131,10 @@ def main():
             from selfpose3d_tpu.utils.vis import save_scene_render
 
             images = _scene_images(records[i])
-            save_scene_render(images, p[order], out_png, azimuth=azim)
+            meshes = _frame_meshes(args.mesh_dir, records[i], i, order)
+            save_scene_render(
+                images, p[order], out_png, azimuth=azim, meshes=meshes
+            )
             azim -= 0.8  # reference's per-frame orbit (visualize.py:583)
         else:
             save_3d_poses(p[order], out_png)

@@ -251,6 +251,37 @@ def save_multiview_composite(
     cv2.imwrite(file_name, grid)
 
 
+def load_obj_mesh(path: str):
+    """Minimal wavefront OBJ reader -> (verts (N,3) f32, faces (M,3) i32).
+
+    Reads only 'v' and triangular 'f' records ('f a/b/c' slash forms
+    allowed) — sufficient for the SMPL fit meshes the reference renders
+    (ref: tools/visualize.py:312 ``Mesh(os.path.join(mesh_dir, p))``).
+    """
+    verts, faces = [], []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(x) for x in parts[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0] - 1, idx[k] - 1, idx[k + 1] - 1])
+    return (
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int32).reshape(-1, 3),
+    )
+
+
+# track-stable mesh palette (the reference colors meshes by track id,
+# tools/visualize.py:321 ``.c(COLORS[int(n % 10)])``)
+MESH_COLORS = (
+    "#4878d0", "#ee854a", "#6acc64", "#d65f5f", "#956cb4",
+    "#8c613c", "#dc7ec0", "#797979", "#d5bb67", "#82c6e2",
+)
+
+
 def save_scene_render(
     images,
     poses: np.ndarray,
@@ -259,6 +290,8 @@ def save_scene_render(
     elev: float = 22.0,
     limbs: Sequence[Sequence[int]] = PANOPTIC_LIMBS,
     downsample: int = 10,
+    meshes=None,
+    mesh_face_stride: int = 4,
 ):
     """3D scene composite: camera images as upright billboards arranged
     around the capture space + 3D skeletons, viewed from a virtual orbit
@@ -272,6 +305,11 @@ def save_scene_render(
       poses:  (P, J, >=3) 3D poses in world mm.
       azimuth: virtual-camera azimuth for this frame (callers step it
               per frame to reproduce the reference's orbit).
+      meshes: optional per-person [(verts (N,3) mm, faces (M,3))] SMPL fit
+              meshes, track-ordered — rendered as shaded surfaces over the
+              skeletons (ref: tools/visualize.py:312,331-335).
+      mesh_face_stride: render every k-th face (matplotlib Poly3D is slow
+              at full SMPL resolution; stride 4 keeps the silhouette).
     """
     plt = _plt()
     # reference billboard layout (tools/visualize.py:251-257)
@@ -302,6 +340,20 @@ def save_scene_render(
             Xr, Yr, Z, facecolors=im, shade=False,
             rstride=1, cstride=1, antialiased=False, zorder=1,
         )
+
+    if meshes:
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        for mi, (mv, mf) in enumerate(meshes):
+            mv = np.asarray(mv, np.float32)
+            mf = np.asarray(mf, np.int64)[::max(1, mesh_face_stride)]
+            tris = mv[mf]  # (M', 3, 3)
+            coll = Poly3DCollection(
+                tris,
+                facecolor=MESH_COLORS[mi % len(MESH_COLORS)],
+                edgecolor="none", alpha=0.55, zorder=2,
+            )
+            ax.add_collection3d(coll)
 
     for p in range(poses.shape[0]):
         pts = poses[p, :, :3]

@@ -106,3 +106,61 @@ class TestSceneRender:
             sys.argv = old
         pngs = list(out_dir.glob("*.png"))
         assert len(pngs) == 2
+
+    def test_scene_render_with_smpl_meshes(self, tmp_path, rng):
+        """--mesh-dir overlays per-person OBJ meshes in the scene render
+        (ref: tools/visualize.py:312,331-335: Mesh().rotateX(180).scale(1000)
+        per track); frames without assets cleanly skip."""
+        import pickle
+        import sys
+
+        from selfpose3d_tpu.utils.vis import load_obj_mesh, save_scene_render
+
+        # tiny tetrahedron OBJ in SMPL convention (meters, y-down)
+        obj = (
+            "v 0 0 0\nv 0.2 0 0\nv 0 -0.2 0\nv 0 0 -1.7\n"
+            "f 1/1 2/2 3/3\nf 1 2 4\nf 1 3 4\nf 2 3 4\n"
+        )
+        mesh_root = tmp_path / "meshes"
+        frame_dir = mesh_root / "seq_0"
+        frame_dir.mkdir(parents=True)
+        (frame_dir / "p0.obj").write_text(obj)
+        (frame_dir / "p1.obj").write_text(obj.replace("0.2", "0.3"))
+
+        v, f = load_obj_mesh(str(frame_dir / "p0.obj"))
+        assert v.shape == (4, 3) and f.shape == (4, 3)
+
+        poses = rng.rand(2, 15, 3).astype(np.float32) * 1000.0
+        out = tmp_path / "scene_mesh.png"
+        save_scene_render(
+            [], poses, str(out), azimuth=20.0,
+            meshes=[(v * 1000.0, f), (v * 1000.0 + 300.0, f)],
+        )
+        assert out.exists() and out.stat().st_size > 5000
+
+        # CLI: frame 0 has meshes (key-based dir), frame 1 has none
+        K, J = 2, 15
+        recs = []
+        for i in range(2):
+            pred = np.zeros((K, J, 5), np.float32)
+            pred[:, :, :3] = poses[:, :, :3] + 40.0 * i
+            pred[:, :, 3] = 0.0
+            pred[:, :, 4] = 0.9
+            recs.append({"key": f"seq_{i}", "preds_3d": pred,
+                         "views_meta": []})
+        dump = tmp_path / "predictions_dump.pkl"
+        pickle.dump(recs, open(dump, "wb"))
+
+        from selfpose3d_tpu.cli import visualize as vis_cli
+
+        out_dir = tmp_path / "render_mesh"
+        old = sys.argv
+        try:
+            sys.argv = ["sp3d-visualize", "--dump", str(dump),
+                        "--out-dir", str(out_dir), "--scene",
+                        "--mesh-dir", str(mesh_root)]
+            vis_cli.main()
+        finally:
+            sys.argv = old
+        pngs = sorted(out_dir.glob("*.png"))
+        assert len(pngs) == 2  # mesh frame AND meshless frame both render
