@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from selfpose3d_tpu.models.norm import FastBatchNorm, conv_fence
+
 BN_MOMENTUM = 0.9  # torch 0.1 (ref: pose_resnet.py:17)
 
 
@@ -40,15 +42,15 @@ class BasicBlock(nn.Module):
         out = nn.Conv(
             self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
             dtype=self.dtype, name="conv1",
-        )(x)
-        out = nn.BatchNorm(
+        )(conv_fence(x))
+        out = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn1"
         )(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2"
-        )(out)
-        out = nn.BatchNorm(
+        )(conv_fence(out))
+        out = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn2"
         )(out)
         if self.downsample:
@@ -56,7 +58,7 @@ class BasicBlock(nn.Module):
                 self.planes, (1, 1), strides=self.stride, use_bias=False,
                 dtype=self.dtype, name="downsample_conv",
             )(x)
-            residual = nn.BatchNorm(
+            residual = FastBatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 dtype=self.dtype, name="downsample_bn",
             )(residual)
@@ -76,22 +78,22 @@ class Bottleneck(nn.Module):
         out = nn.Conv(
             self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
         )(x)
-        out = nn.BatchNorm(
+        out = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn1"
         )(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
             dtype=self.dtype, name="conv2",
-        )(out)
-        out = nn.BatchNorm(
+        )(conv_fence(out))
+        out = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn2"
         )(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
         )(out)
-        out = nn.BatchNorm(
+        out = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn3"
         )(out)
         if self.downsample:
@@ -99,7 +101,7 @@ class Bottleneck(nn.Module):
                 self.planes * 4, (1, 1), strides=self.stride, use_bias=False,
                 dtype=self.dtype, name="downsample_conv",
             )(x)
-            residual = nn.BatchNorm(
+            residual = FastBatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 dtype=self.dtype, name="downsample_bn",
             )(residual)
@@ -134,7 +136,7 @@ class PoseResNet(nn.Module):
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1"
         )(x)
-        x = nn.BatchNorm(
+        x = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn1"
         )(x)
         x = nn.relu(x)
@@ -193,8 +195,8 @@ class PoseResNet(nn.Module):
                 kernel_init=head_init,
                 dtype=self.dtype,
                 name=f"deconv{i}",
-            )(x)
-            x = nn.BatchNorm(
+            )(conv_fence(x))
+            x = FastBatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 dtype=self.dtype, name=f"deconv_bn{i}",
             )(x)

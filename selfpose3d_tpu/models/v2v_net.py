@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from selfpose3d_tpu.models.norm import FastBatchNorm, conv_fence
+
 # torch BatchNorm momentum 0.1 == flax momentum 0.9 (ra = m*ra + (1-m)*batch)
 BN_MOMENTUM = 0.9
 
@@ -72,6 +74,8 @@ class FastConv3D(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
         w = w.astype(self.dtype)
         x = x.astype(self.dtype)
+        if k > 1:
+            x = conv_fence(x)
         B, X, Y, Z, _ = x.shape
         half = (k - 1) // 2
 
@@ -144,7 +148,7 @@ class Basic3DBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         x = FastConv3D(self.out_ch, self.kernel, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(
+        x = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
         )(x, mask=mask)
         return nn.relu(x)
@@ -159,7 +163,7 @@ def _conv3x3x3(x, features, dtype, name):
     return nn.Conv(
         features, (3, 3, 3), padding=1, kernel_init=conv_init,
         dtype=dtype, name=name,
-    )(x)
+    )(conv_fence(x))
 
 
 class Res3DBlock(nn.Module):
@@ -170,12 +174,12 @@ class Res3DBlock(nn.Module):
     def __call__(self, x, train: bool = False, mask=None):
         in_ch = x.shape[-1]
         res = _conv3x3x3(x, self.out_ch, self.dtype, "conv1")
-        res = nn.BatchNorm(
+        res = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn1"
         )(res, mask=mask)
         res = nn.relu(res)
         res = _conv3x3x3(res, self.out_ch, self.dtype, "conv2")
-        res = nn.BatchNorm(
+        res = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn2"
         )(res, mask=mask)
 
@@ -186,7 +190,7 @@ class Res3DBlock(nn.Module):
                 self.out_ch, (1, 1, 1), kernel_init=conv_init,
                 dtype=self.dtype, name="skip_conv",
             )(x)
-            skip = nn.BatchNorm(
+            skip = FastBatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 dtype=self.dtype, name="skip_bn",
             )(skip, mask=mask)
@@ -201,7 +205,7 @@ class Upsample3DBlock(nn.Module):
     def __call__(self, x, train: bool = False, mask=None):
         # ConvTranspose3d(k=2, s=2, p=0): exact 2x upsampling, no tap overlap
         x = FastConvTranspose3D(self.out_ch, dtype=self.dtype, name="deconv")(x)
-        x = nn.BatchNorm(
+        x = FastBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
         )(x, mask=mask)
         return nn.relu(x)

@@ -37,6 +37,7 @@ gather each 128-lane half and select.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -51,6 +52,12 @@ LANE = 128
 # Pallas adjoint can be cross-checked against it on real hardware
 # (scripts/check_adjoint_tpu.py)
 _FORCE_XLA_BWD = False
+
+# bench-only ablation knob for the adjoint's per-channel pipeline
+# (scripts/microbench_adjoint.py): "nocumsum" skips the 4 prefix sums,
+# "nosegsum" skips cumsum + boundary/diff epilogue (movement ops only).
+# Wrong math — NEVER set outside cost-attribution benches.
+_ADJ_ABLATE = os.environ.get("SP3D_ADJ_ABLATE", "")
 
 
 def _use_pallas_bwd() -> bool:
@@ -750,61 +757,101 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
     idx0T = tpose(jnp.clip(y0q, -1.0, H - 1) + 1.0)  # f32 in [0, H]
     wAT, wBT, wCT, wDT = tpose(wA), tpose(wB), tpose(wC), tpose(wD)
 
-    # lattice-pad rows (X <= r < Xp) and beyond-R lanes carry garbage
-    # indices mid-sequence, which breaks the sorted-run property the
-    # boundary counting needs. Replicate the last VALID row's index there:
-    # the sequence stays monotone (a plateau) in either direction, and the
-    # replicated lanes contribute zero value (their cotangents are padding
-    # zeros), so counting them is harmless. Adjoint runs UNPACKED (pack=1):
-    # a packed pair concatenates two separately-monotone sequences, which
-    # is not globally sorted.
-    idx0T = _gather_128(idx0T, jnp.minimum(lane_r, X - 1))
+    # Slice-PAIR packing (pack == 2): each packed slice occupies Xp lanes
+    # (valid lanes [h*Xp, h*Xp + X)) and keeps its OWN monotone sequence,
+    # direction, count search, and validity mask — the boundary counting
+    # below runs per HALF, so the concatenated lanes never need to be
+    # globally sorted. One transpose / gather / prefix-sum then serves two
+    # slices (measured r4: cumsum 77 ms + movement 30 ms of the 161.8 ms
+    # J=15 adjoint are lane-parallel work at 50% lane occupancy unpacked).
+    halfno = (
+        jnp.minimum(lane_r // Xp, pack - 1)
+        if pack > 1
+        else jnp.zeros_like(lane_r)
+    )
+    base = halfno * Xp
+    local = lane_r - base
+    # lattice-pad rows (X <= local < Xp) and beyond-R lanes carry garbage
+    # indices mid-sequence, which breaks the per-half sorted-run property.
+    # Replicate each half's last VALID row's index there (monotone plateau);
+    # those lanes' values are zeroed below, so counting them is harmless.
+    idx0T = _gather_128(idx0T, base + jnp.minimum(local, X - 1))
+    valid_lane = local < X
 
-    # per-column monotone direction along r; reversal permutation
-    dirc = idx0T[:, X - 1 : X] >= idx0T[:, 0:1]  # (Wp, 1)
-    rev = jnp.where(dirc, lane_r, (X - 1) - lane_r)
-    rev = jnp.clip(rev, 0, LANE - 1)
+    # per-column, per-half monotone direction; per-half reversal permutation
+    dircs = [
+        idx0T[:, h * Xp + X - 1 : h * Xp + X] >= idx0T[:, h * Xp : h * Xp + 1]
+        for h in range(pack)
+    ]
+    if pack == 1:
+        dirc_l = dircs[0]
+    else:
+        dirc_l = jnp.where(halfno == 0, dircs[0], dircs[1])
+    rev_local = jnp.where(dirc_l, local, (X - 1) - local)
+    rev = jnp.clip(base + jnp.clip(rev_local, 0, Xp - 1), 0, LANE - 1)
     idx0R = _gather_128(idx0T, rev)
-    # after reversal, lanes >= X are the clip(0) duplicates of lane 0 for
-    # descending columns (plateau at the front is NOT sorted) — push all
-    # beyond-X lanes to a sorted tail instead
-    idx0R = jnp.where(lane_r < X, idx0R, jnp.float32(2 * Hp + 2))
+    # after reversal, pad lanes are duplicates of real lanes (descending
+    # halves plateau at the front, which is NOT sorted) — push every
+    # invalid lane to a sorted tail instead
+    idx0R = jnp.where(valid_lane, idx0R, jnp.float32(2 * Hp + 2))
 
     # Validity guard (advisor r3): the boundary counting below is only
     # correct when each column's hosted-y0 sequence is monotone along r —
     # `dirc` infers the direction from the two ENDPOINTS, so an interior
     # non-monotone column (plausible for whole-space rows passing near a
     # camera) would silently miscount. Verify idx0R is actually sorted
-    # after reversal and ZERO violating columns' contributions: their
-    # points' cotangents are dropped (the same contract as the forward's
-    # ok mask) instead of corrupting d(heatmap). The padded tail
-    # (2*Hp+2 > any encoded index) keeps the full-plane check valid.
+    # after reversal WITHIN each half and ZERO violating (column, half)
+    # contributions: their points' cotangents are dropped (the same
+    # contract as the forward's ok mask) instead of corrupting d(heatmap).
+    # The padded tail (2*Hp+2 > any encoded index) keeps the check valid;
+    # the first lane of half 1 compares against half 0's tail — exempt it.
     asc_viol = (idx0R - _lane_shift_right(idx0R, 1)) < 0.0  # lane 0: vs 0-fill, never <0
-    col_ok = 1.0 - jnp.max(
-        asc_viol.astype(f32), axis=1, keepdims=True
-    )  # (Wp, 1)
+    if pack > 1:
+        asc_viol = asc_viol & (lane_r != Xp)
+    asc_viol_f = asc_viol.astype(f32)
+    col_oks = [
+        1.0
+        - jnp.max(
+            asc_viol_f * (halfno == h).astype(f32)
+            if pack > 1
+            else asc_viol_f,
+            axis=1,
+            keepdims=True,
+        )
+        for h in range(pack)
+    ]  # each (Wp, 1)
 
-    # ---- per-slice search (channel-shared): cnt[c, h] = #{r: idx0R <= h}
-    # with the +1 encoding, cnt[h] counts y0 <= h-1 (= the B/D taps
-    # targeting row h); the A/C taps (row h = y0) use cnt at h+1.
+    # ---- per-slice search (channel-shared, per half): cnt[c, h] =
+    # #{local r in the half: idx0R <= h}. With the +1 encoding, cnt[h]
+    # counts y0 <= h-1 (= the B/D taps targeting row h); the A/C taps
+    # (row h = y0) use cnt at h+1.
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (Wp, Hp), 1).astype(f32)
-    cnt = jnp.zeros((Wp, Hp), jnp.int32)
-    st = LANE  # counts live in [0, X] inclusive
-    while st >= 1:
-        cand = cnt + st
-        v = _gather_128(idx0R, jnp.clip(cand - 1, 0, LANE - 1))
-        cnt = jnp.where((cand <= R) & (v <= h_iota), cand, cnt)
-        st //= 2
-    # cnt at h+1 (left lane shift); at the top lane every countable entry
-    # (all X valid-and-replicated lanes, idx0enc <= H) is included
     lane_h = jax.lax.broadcasted_iota(jnp.int32, (Wp, Hp), 1)
-    cnt_p1 = jnp.pad(cnt, ((0, 0), (0, 1)))[:, 1:]
-    cnt_p1 = jnp.where(lane_h == Hp - 1, jnp.int32(X), cnt_p1)
+    cnts, cnts_p1 = [], []
+    for h in range(pack):
+        b0 = h * Xp
+        cnt = jnp.zeros((Wp, Hp), jnp.int32)
+        st = LANE  # counts live in [0, X] inclusive
+        while st >= 1:
+            cand = cnt + st
+            v = _gather_128(idx0R, jnp.clip(b0 + cand - 1, 0, LANE - 1))
+            cnt = jnp.where((cand <= Xp) & (v <= h_iota), cand, cnt)
+            st //= 2
+        # cnt at h+1 (left lane shift); at the top lane every countable
+        # entry (idx0enc <= H, all in the half's X valid lanes) is included
+        cnt_p1 = jnp.pad(cnt, ((0, 0), (0, 1)))[:, 1:]
+        cnt_p1 = jnp.where(lane_h == Hp - 1, jnp.int32(X), cnt_p1)
+        cnts.append(cnt)
+        cnts_p1.append(cnt_p1)
 
-    def boundary(S, c_plane):
-        """T(c, k) = S[c, k-1] for k>0 else 0, elementwise over a plane."""
-        gathered = _gather_128(S, jnp.clip(c_plane - 1, 0, LANE - 1))
-        return jnp.where(c_plane > 0, gathered, jnp.zeros_like(gathered))
+    def boundary(S, c_plane, b0, first_half):
+        """T(c, k) = S[c, b0 + k - 1] (k==0 on the first half -> 0; on
+        later halves the natural gather at b0-1 returns the preceding
+        halves' prefix, subtracted off by the caller)."""
+        gathered = _gather_128(S, jnp.clip(b0 + c_plane - 1, 0, LANE - 1))
+        if first_half:
+            return jnp.where(c_plane > 0, gathered, jnp.zeros_like(gathered))
+        return gathered
 
     def read_g(ch, h):
         blk = g_ref[0, 0, pack * si + h, ch]  # (Xp, Y)
@@ -827,30 +874,57 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
         vq = _gather_lanes(gl, q)  # (R, Wp): cotangent of the hosted point
         vqT = tpose(vq)  # (Wp, 128)
         vqR = _gather_128(vqT, rev)
-        # beyond-X lanes: the clipped reversal duplicates real lanes'
-        # values (descending columns) — zero them so nothing double-counts
-        vqR = jnp.where(lane_r < X, vqR, jnp.zeros_like(vqR))
+        # pad lanes: the clipped reversal duplicates real lanes' values
+        # (descending halves) — zero them so nothing double-counts
+        vqR = jnp.where(valid_lane, vqR, jnp.zeros_like(vqR))
         wATr = _gather_128(wAT, rev)
         wBTr = _gather_128(wBT, rev)
         wCTr = _gather_128(wCT, rev)
         wDTr = _gather_128(wDT, rev)
 
-        SA = _lane_cumsum(wATr * vqR)
-        SB = _lane_cumsum(wBTr * vqR)
-        SC = _lane_cumsum(wCTr * vqR)
-        SD = _lane_cumsum(wDTr * vqR)
+        if _ADJ_ABLATE == "nosegsum":  # movement-only cost attribution
+            # one boundary-style gather keeps the (Wp, Hp) acc shape
+            acc_ref[0, ch] = acc_ref[0, ch] + _gather_128(
+                wATr * vqR, jnp.clip(cnts[0], 0, LANE - 1)
+            )
+            return carry
 
-        FA = boundary(SA, cnt_p1)  # A/C target row y0: count at h+1
-        FB = boundary(SB, cnt)     # B/D target row y0+1: count at h
-        FC = boundary(SC, cnt_p1)
-        FD = boundary(SD, cnt)
-        dA = FA - _lane_shift_right(FA, 1)
-        dB = FB - _lane_shift_right(FB, 1)
-        dC = FC - _lane_shift_right(FC, 1)
-        dD = FD - _lane_shift_right(FD, 1)
-        # col_ok masks per HOST column: both its own-column (A/B) and
-        # next-column (C/D, applied before the sublane shift) taps
-        contrib = (dA + dB) * col_ok + _sub_shift_down((dC + dD) * col_ok, 1)
+        if _ADJ_ABLATE == "nocumsum":  # prefix sums skipped (wrong math)
+            SA, SB = wATr * vqR, wBTr * vqR
+            SC, SD = wCTr * vqR, wDTr * vqR
+        else:
+            SA = _lane_cumsum(wATr * vqR)
+            SB = _lane_cumsum(wBTr * vqR)
+            SC = _lane_cumsum(wCTr * vqR)
+            SD = _lane_cumsum(wDTr * vqR)
+
+        own_sum = nxt_sum = None
+        for hh in range(pack):
+            b0 = hh * Xp
+            first = hh == 0
+            FA = boundary(SA, cnts_p1[hh], b0, first)  # A/C: count at h+1
+            FB = boundary(SB, cnts[hh], b0, first)     # B/D: count at h
+            FC = boundary(SC, cnts_p1[hh], b0, first)
+            FD = boundary(SD, cnts[hh], b0, first)
+            if not first:
+                # later halves ride the cumsum's running prefix: subtract
+                # the preceding halves' total (telescopes out of the h-row
+                # differences except at h = 0, which needs it removed)
+                FA = FA - SA[:, b0 - 1 : b0]
+                FB = FB - SB[:, b0 - 1 : b0]
+                FC = FC - SC[:, b0 - 1 : b0]
+                FD = FD - SD[:, b0 - 1 : b0]
+            dA = FA - _lane_shift_right(FA, 1)
+            dB = FB - _lane_shift_right(FB, 1)
+            dC = FC - _lane_shift_right(FC, 1)
+            dD = FD - _lane_shift_right(FD, 1)
+            own = (dA + dB) * col_oks[hh]
+            nxt = (dC + dD) * col_oks[hh]
+            own_sum = own if first else own_sum + own
+            nxt_sum = nxt if first else nxt_sum + nxt
+        # col_ok masks per (HOST column, half): both the own-column (A/B)
+        # and next-column (C/D, applied before the sublane shift) taps
+        contrib = own_sum + _sub_shift_down(nxt_sum, 1)
         # acc block is (1, J, Wp, Hp): index past the unit batch-block dim
         acc_ref[0, ch] = acc_ref[0, ch] + contrib
         return carry
@@ -951,9 +1025,14 @@ def slice_warp_adjoint(
     Yp = _round_up(Y, LANE)
     Hp = _round_up(H, LANE)
     SB = _pick_slice_block(S)
-    # unpacked: the boundary counting needs ONE globally sorted index
-    # sequence per column; a packed pair concatenates two monotone halves
-    PACK = 1
+    # slice-PAIR packing under the same static condition as the forward:
+    # the boundary counting runs per HALF (two independent monotone
+    # sequences, counts, and validity masks), so one transpose + gather +
+    # prefix-sum pipeline serves two slices. Callers reaching this through
+    # the custom VJP always have pair-consistent flip flags (the forward
+    # forces them); slice_warp_adjoint applies the even slice's flag to
+    # both, exactly like the packed forward.
+    PACK = 2 if kernel_packs_pairs((X, Y), S) else 1
 
     if flip is None:
         flip = jnp.zeros((B, S), jnp.int32)

@@ -44,6 +44,31 @@ def smooth_heatmap(rs, B, H, W, J):
     return np.clip(hm, 0, 1)
 
 
+def scatter_adjoint_ref(shape, xs, ys, g, ok):
+    """The masked bilinear scatter (== XLA backward) in numpy."""
+    B, H, W, J = shape
+    S, X, Y = xs.shape[1:]
+    ok5 = np.asarray(ok)[:, :, None, :, :]
+    gm = np.asarray(g) * ok5
+    N = S * X * Y
+    px = np.asarray(xs).reshape(B, N)
+    py = np.asarray(ys).reshape(B, N)
+    g_pt = gm.transpose(0, 1, 3, 4, 2).reshape(B, N, J)
+    x0 = np.floor(px)
+    y0 = np.floor(py)
+    ux, vy = px - x0, py - y0
+    ref = np.zeros((B, H * W, J), np.float32)
+    for dy, dx, w in ((0, 0, (1 - ux) * (1 - vy)), (0, 1, ux * (1 - vy)),
+                      (1, 0, (1 - ux) * vy), (1, 1, ux * vy)):
+        yi = (y0 + dy).astype(int)
+        xi = (x0 + dx).astype(int)
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        rows = np.clip(yi, 0, H - 1) * W + np.clip(xi, 0, W - 1)
+        for b in range(B):
+            np.add.at(ref[b], rows[b], g_pt[b] * (w[b] * valid[b])[:, None])
+    return ref.reshape(B, H, W, J)
+
+
 def exact_bilinear(hm, xs, ys):
     B, H, W, J = hm.shape
     _, S, X, Y = xs.shape
@@ -254,6 +279,67 @@ class TestPallasAdjoint:
             (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(g), ok
         ))
         np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_adjoint_slice_pair_packed(self, rng):
+        """PACK=2 path (square lattice, even slice block): per-half
+        boundary counting must equal the scatter adjoint with mixed
+        ascending/descending slices inside one packed pair, plus the
+        swapped-image variant via flip flags (pair-consistent, as the
+        packed forward forces)."""
+        B, H, W, J = 1, 64, 96, 3
+        S, X, Y = 4, 16, 16
+        assert sw.kernel_packs_pairs((X, Y), S)
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = np.zeros((B, S, X, Y), np.float32)
+        ys = np.zeros((B, S, X, Y), np.float32)
+        # pair 0: ascending then DESCENDING half (independent directions)
+        xs[0, 0] = 5 + 3.1 * v + 0.3 * u
+        ys[0, 0] = 4 + 2.0 * u + 0.2 * v
+        xs[0, 1] = 88 - 3.3 * v - 0.2 * u
+        ys[0, 1] = 8 + 1.9 * u + 0.15 * v
+        # pair 1: swapped-image variant (steep in the y coordinate ->
+        # flip=1 on both). The hosting coordinate (ys here) carries NO
+        # u-slope so the hosted point never jumps along the lattice row —
+        # keeping every column's hosted sequence strictly monotone (the
+        # adjoint's exactness regime; jumpy hostings are covered by
+        # test_nonmonotone_column_drops_not_corrupts).
+        xs[0, 2] = 10 + 0.2 * v + 0.25 * u
+        ys[0, 2] = 3 + 3.2 * v
+        xs[0, 3] = 80 - 0.25 * v - 0.4 * u
+        ys[0, 3] = 5 + 3.0 * v
+        flip = jnp.asarray([[0, 0, 1, 1]], jnp.int32)
+        # flip=1 slices sample the swapped image: forward/adjoint treat
+        # (xs, ys) as (ys, xs) internally; the scatter reference needs no
+        # flag (it scatters by raw coordinates)
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+        ok = jnp.ones((B, S, X, Y), jnp.float32)
+        ref = scatter_adjoint_ref((B, H, W, J), xs, ys, g, ok)
+        got = np.asarray(sw.slice_warp_adjoint(
+            (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(g), ok, flip=flip,
+        ))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_adjoint_packed_equals_unpacked(self, rng, monkeypatch):
+        """The packed (PACK=2) and forced-unpacked adjoints agree exactly
+        on identical inputs."""
+        B, H, W, J = 1, 64, 96, 2
+        S, X, Y = 2, 16, 16
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = np.zeros((B, S, X, Y), np.float32)
+        ys = np.zeros((B, S, X, Y), np.float32)
+        xs[0, 0] = 5 + 3.1 * v + 0.3 * u
+        ys[0, 0] = 4 + 2.0 * u + 0.2 * v
+        xs[0, 1] = 88 - 3.3 * v - 0.2 * u
+        ys[0, 1] = 8 + 1.9 * u + 0.15 * v
+        g = rng.rand(B, S, J, X, Y).astype(np.float32)
+        ok = jnp.ones((B, S, X, Y), jnp.float32)
+        args = ((B, H, W, J), jnp.asarray(xs), jnp.asarray(ys),
+                jnp.asarray(g), ok)
+        packed = np.asarray(sw.slice_warp_adjoint(*args))
+        monkeypatch.setattr(sw, "kernel_packs_pairs", lambda *a: False)
+        unpacked = np.asarray(sw.slice_warp_adjoint(*args))
+        np.testing.assert_allclose(packed, unpacked, atol=1e-6)
 
     def test_adjoint_top_edge(self, rng):
         """Points straddling the top image border (y0 = -1): their B/D
