@@ -146,22 +146,42 @@ class PoseNet(nn.Module):
         centers = grid_centers[..., :3]  # (B, K, 3)
         valid = (grid_centers[..., 3] >= 0).astype(jnp.float32)  # (B, K)
 
-        # per-candidate voxel grids: (B, K, N, 3)
+        # per-candidate voxel grids: (B, K, N, 3), x-major (soft-argmax
+        # contract)
         grids = jax.vmap(jax.vmap(
             lambda c: compute_grid(self.grid_size, c, self.cube_size)
         ))(centers)
 
+        hflip_bv = (
+            None if hflip is None else jnp.broadcast_to(
+                jnp.asarray(hflip).reshape(-1, 1), (B, V)
+            )
+        )
+        use_sw = self.sampling == "slicewarp" and slicewarp_supported(
+            heatmaps, self.cube_size
+        )
+        if use_sw:
+            # slice-major (z-grouped) grid: the sampler's slice regrouping
+            # and the V2V NDHWC handoff then cost ONE transpose total
+            # instead of five (B, V, K*N)-sized ones (measured r4,
+            # scripts/microbench_sampwrap.py). The analytic grid costs
+            # ~3 ms to build a second time.
+            grids_sw = jax.vmap(jax.vmap(
+                lambda c: compute_grid(
+                    self.grid_size, c, self.cube_size, order="zxy"
+                )
+            ))(centers)
+            flat_grids = grids_sw.reshape(B, 1, K * N, 3)
+        else:
+            flat_grids = grids.reshape(B, 1, K * N, 3)
         # sampling coords for all candidates against each view's heatmap:
         # grid (B, 1(V), K*N, 3) vs cam (B, V) -> (B, V, K*N, 2)
-        flat_grids = grids.reshape(B, 1, K * N, 3)
         sample_grid, bounding = compute_sample_grid(
             flat_grids, cam, trans, self.image_wh, (W, H),
-            hflip=None if hflip is None else jnp.broadcast_to(
-                jnp.asarray(hflip).reshape(-1, 1), (B, V)
-            ),
+            hflip=hflip_bv,
             orig_wh=orig_wh,
         )
-        if self.sampling == "slicewarp" and slicewarp_supported(heatmaps, self.cube_size):
+        if use_sw:
             # bf16 model dtype selects the channel-pair-packed kernel (two
             # bf16 channels per gather/transpose inside one bitpacked f32;
             # kernel 25.9 -> 16.7 ms at PoseNet shapes, value precision =
@@ -169,21 +189,22 @@ class PoseNet(nn.Module):
             sw_dtype = (
                 jnp.bfloat16 if self.dtype == jnp.bfloat16 else None
             )
-            feats = sample_and_aggregate_slicewarp(
+            cubes = sample_and_aggregate_slicewarp(
                 heatmaps, sample_grid, bounding, self.cube_size, num_cubes=K,
                 mode="flags",  # per-slice orientation/lattice selection
                 dtype=sw_dtype,
-            )  # (B, J, K*N)
+                pre_sliced=True,
+                out_layout="ndhwc",
+            ).reshape(B * K, X, Y, Z, J)
         else:
             feats = sample_and_aggregate_cmajor(
                 heatmaps, sample_grid, bounding
             )  # (B, J, K*N) — channel-major keeps the K*N axis in the lanes
-
-        cubes = (
-            feats.reshape(B, J, K, X, Y, Z)
-            .transpose(0, 2, 3, 4, 5, 1)
-            .reshape(B * K, X, Y, Z, J)
-        )
+            cubes = (
+                feats.reshape(B, J, K, X, Y, Z)
+                .transpose(0, 2, 3, 4, 5, 1)
+                .reshape(B * K, X, Y, Z, J)
+            )
         # zero invalid candidates' cubes so they contribute nothing downstream
         cubes = cubes * valid.reshape(B * K, 1, 1, 1, 1)
         # BatchNorm statistics only over valid candidates (the reference runs

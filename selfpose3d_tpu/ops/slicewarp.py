@@ -649,6 +649,208 @@ def _slice_warp_impl(
     return out, ok
 
 
+def _slice_warp_agg_kernel(
+    flip_ref, bnd_ref, hm_ref, hms_ref, xs_ref, ys_ref,
+    out_ref, nfail_ref, samp_s, ok_s, acc_s, bacc_s,
+    *, H, W, X, Y, J, SB, V, Wp, Xp, Yp, Wsp, PACK, PACKC, out_dt,
+):
+    """Fused multi-view sample + bounded-mean (inference path).
+
+    Grid (B, S//SB, V) with the VIEW dim innermost: the f32 accumulators
+    live in SCRATCH across the V steps of one (batch, slice-block), so the
+    per-view samples and the running sums never round-trip HBM — the XLA
+    view loop spent ~30 ms/batch on accumulator traffic at K=10 bench
+    shapes (scripts/microbench_sampwrap.py). The bounded mean is
+    normalized in-kernel on the last view and written once as ``out_dt``.
+    """
+    v = pl.program_id(2)
+    square = X == Y
+
+    def slice_body(si, _):
+        def lat_t(a):
+            sq = a[:X, :Y].T
+            return jnp.pad(sq, ((0, Xp - X), (0, Yp - Y)))
+
+        def stacked(lt):
+            planes = []
+            for h in range(PACK):
+                xs_h = xs_ref[0, 0, PACK * si + h]
+                ys_h = ys_ref[0, 0, PACK * si + h]
+                planes.append((lat_t(xs_h), lat_t(ys_h)) if lt else (xs_h, ys_h))
+            if PACK == 1:
+                return planes[0]
+            return (
+                jnp.concatenate([p[0] for p in planes], axis=0),
+                jnp.concatenate([p[1] for p in planes], axis=0),
+            )
+
+        def mk(img_flip, lt):
+            def br():
+                xs_, ys_ = stacked(lt)
+                if img_flip:
+                    _warp_slice(
+                        hms_ref, ys_, xs_, samp_s, ok_s, si,
+                        H=W, W=H, X=X, Y=Y, J=J, Wp=Wsp, Xp=Xp, Yp=Yp,
+                        lattice_t=lt, pack=PACK, packc=PACKC,
+                    )
+                else:
+                    _warp_slice(
+                        hm_ref, xs_, ys_, samp_s, ok_s, si,
+                        H=H, W=W, X=X, Y=Y, J=J, Wp=Wp, Xp=Xp, Yp=Yp,
+                        lattice_t=lt, pack=PACK, packc=PACKC,
+                    )
+            return br
+
+        flag = flip_ref[0, 0, PACK * si]
+        if square:
+            jax.lax.switch(
+                jnp.clip(flag, 0, 3),
+                [mk(0, 0), mk(1, 0), mk(0, 1), mk(1, 1)],
+            )
+        else:
+            jax.lax.cond(flag != 0, mk(1, 0), mk(0, 0))
+        return 0
+
+    jax.lax.fori_loop(0, SB // PACK, slice_body, 0)
+
+    @pl.when(v == 0)
+    def _init():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        bacc_s[...] = jnp.zeros_like(bacc_s)
+
+    bnd = bnd_ref[0, 0, :, :, :Y]  # (SB, Xp, Y); pad rows/cols are 0
+    samp = samp_s[0, 0].astype(jnp.float32)  # (SB, JO, Xp, Y)
+    acc_s[...] = acc_s[...] + samp * bnd[:, None]
+    bacc_s[...] = bacc_s[...] + bnd
+    # per-(b, slice-block, view) hosting-failure count (telemetry); padded
+    # rows' ok is garbage — count valid rows only
+    okb = ok_s[0, 0][:, :X]
+    nfail_ref[0, 0, 0] = jnp.sum(1.0 - okb)
+
+    @pl.when(v == V - 1)
+    def _finalize():
+        mean = acc_s[...] / (bacc_s[...][:, None] + 1e-6)
+        out_ref[0, 0] = jnp.clip(mean, 0.0, 1.0).astype(out_dt)
+
+
+def slice_warp_sample_agg(
+    heatmaps: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    bnd: jnp.ndarray,
+    flip: jnp.ndarray,
+    table_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-view fused forward (INFERENCE only — no custom VJP; training
+    uses the per-view differentiable path).
+
+    Args:
+      heatmaps: (B, V, H, W, J)
+      xs, ys:   (B, V, S, X, Y) heatmap-pixel coords
+      bnd:      (B, V, S, X, Y) in-original-image mask
+      flip:     (B, V, S) variant flags
+    Returns:
+      mean: (B, S, JO, X, Y) bounded mean over views (JO = J rounded up to
+            the channel-pair packing), in ``table_dtype`` (bf16 packs).
+      nfail: (B, V) per-view hosting-failure counts (telemetry).
+    """
+    B, V, H, W, J = heatmaps.shape
+    S, X, Y = xs.shape[2], xs.shape[3], xs.shape[4]
+    Wp = _round_up(W, LANE)
+    Xp = _round_up(X, 8)
+    Yp = _round_up(Y, LANE)
+    Hp = _round_up(H, LANE)
+    assert Hp <= 2 * LANE and Wp <= 2 * LANE and Xp <= LANE and Yp <= LANE
+    SB = _pick_slice_block(S)
+    PACK = 2 if (X == Y and 2 * Xp <= LANE and SB % 2 == 0) else 1
+    packc = table_dtype == jnp.bfloat16
+
+    BV = B * V
+    flip = flip.astype(jnp.int32)
+    if PACK == 2:
+        flip = flip.at[:, :, 1::2].set(flip[:, :, 0::2])
+    flip = flip.reshape(BV, S // SB, SB)
+
+    dt = jnp.float32
+    hm_p = jnp.pad(
+        heatmaps, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0))
+    ).astype(dt)
+    if packc:
+        J2 = (J + 1) // 2
+        u = jax.lax.bitcast_convert_type(
+            hm_p.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        if J % 2:
+            u = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 1)))
+        hm_p = jax.lax.bitcast_convert_type(
+            u[..., 0::2] | (u[..., 1::2] << 16), jnp.float32
+        )
+        JT, JO, out_dt = J2, 2 * J2, jnp.bfloat16
+    else:
+        JT, JO, out_dt = J, J, dt
+    hm_p = hm_p.reshape(BV, Hp, Wp, JT)
+    hm_t = jnp.transpose(hm_p, (0, 3, 2, 1))  # (BV, JT, Wp, Hp)
+    hm_s = jnp.transpose(hm_p, (0, 3, 1, 2))  # (BV, JT, Hp, Wp)
+
+    def prep(a):
+        a = jnp.pad(
+            a, ((0, 0), (0, 0), (0, 0), (0, Xp - X), (0, Yp - Y))
+        ).astype(jnp.float32)
+        return a.reshape(BV, S // SB, SB, Xp, Yp)
+
+    xs_p, ys_p, bnd_p = prep(xs), prep(ys), prep(bnd)
+
+    kernel = functools.partial(
+        _slice_warp_agg_kernel,
+        H=H, W=W, X=X, Y=Y, J=J, SB=SB, V=V, Wp=Wp, Xp=Xp, Yp=Yp, Wsp=Hp,
+        PACK=PACK, PACKC=packc, out_dt=out_dt,
+    )
+    bv = lambda b, s, v: (b * V + v, s, 0, 0, 0)
+    mean, nfail = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S // SB, SB, JO, Xp, Y), out_dt),
+            jax.ShapeDtypeStruct((B, S // SB, V), jnp.float32),
+        ),
+        grid=(B, S // SB, V),
+        in_specs=[
+            pl.BlockSpec((1, 1, SB), lambda b, s, v: (b * V + v, s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, SB, Xp, Yp), bv,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, JT, Wp, Hp),
+                         lambda b, s, v: (b * V + v, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, JT, Hp, Wp),
+                         lambda b, s, v: (b * V + v, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SB, Xp, Yp), bv,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SB, Xp, Yp), bv,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, SB, JO, Xp, Y),
+                         lambda b, s, v: (b, s, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, s, v: (b, s, v),
+                         memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, SB, JO, Xp, Y), out_dt),
+            pltpu.VMEM((1, 1, SB, Xp, Y), jnp.float32),
+            pltpu.VMEM((SB, JO, Xp, Y), jnp.float32),
+            pltpu.VMEM((SB, Xp, Y), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(flip, bnd_p, hm_t, hm_s, xs_p, ys_p)
+    mean = mean.reshape(B, S, JO, Xp, Y)[:, :, :, :X]
+    nfail = jnp.sum(nfail, axis=1)  # (B, V): total failures per view
+    return mean, nfail
+
+
 # ---------------------------------------------------------------------------
 # Pallas adjoint: d(loss)/d(heatmap) without XLA scatters.
 #
@@ -784,10 +986,19 @@ def _adjoint_slice(g_ref, accA_ref, accB_ref, xs, ys, si, *, H, W, X, Y, J,
         for h in range(pack)
     ]
     if pack == 1:
-        dirc_l = dircs[0]
+        pos_dir = dircs[0]
     else:
-        dirc_l = jnp.where(halfno == 0, dircs[0], dircs[1])
-    rev_local = jnp.where(dirc_l, local, (X - 1) - local)
+        # int-valued select: Mosaic rejects selects with BOOL results
+        # (i8->i1 truncation), predicates are fine
+        pos_dir = (
+            jnp.where(
+                halfno == 0,
+                dircs[0].astype(jnp.int32),
+                dircs[1].astype(jnp.int32),
+            )
+            > 0
+        )
+    rev_local = jnp.where(pos_dir, local, (X - 1) - local)
     rev = jnp.clip(base + jnp.clip(rev_local, 0, Xp - 1), 0, LANE - 1)
     idx0R = _gather_128(idx0T, rev)
     # after reversal, pad lanes are duplicates of real lanes (descending

@@ -405,6 +405,8 @@ def sample_and_aggregate_slicewarp(
     dtype=None,
     return_stats: bool = False,
     slice_axis: str = "z",
+    pre_sliced: bool = False,
+    out_layout: str = "cmajor",
 ) -> jnp.ndarray:
     """Slice-warp (Pallas) sampling path -> (B, J, N).
 
@@ -429,6 +431,14 @@ def sample_and_aggregate_slicewarp(
                    needed for the whole-space RootNet grid; the top-k
                    compaction costs a sort over N, so it is reserved for
                    small grids.
+      pre_sliced:  the caller built the grid with compute_grid(order="zxy")
+                   (slice_axis 'z' only), so sample_grid/bounding already
+                   arrive slice-grouped — regrouping is a free reshape
+                   instead of three (B, V, N)-sized transposes.
+      out_layout:  'cmajor' (default) -> (B, J, N) x-major/z-minor;
+                   'ndhwc' -> (B, K, X, Y, Z, J), the PoseNet V2V input
+                   layout, emitted with ONE transpose instead of the
+                   cmajor regroup + the consumer's NDHWC transpose.
       slice_axis: 'z' (default) — slices are z-planes with lattice rows
                    along voxel-x/y; right for person-centered cubes.
                    'y' — slices over lattice Y with rows along voxel-Z
@@ -451,6 +461,7 @@ def sample_and_aggregate_slicewarp(
     py = (sample_grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
     if slice_axis == "y":
+        assert not pre_sliced, "pre_sliced grids are z-slice-major"
         S = K * Y
         RX, RY = X, Z  # slice shape: RX rows of RY points (rows along z)
 
@@ -460,6 +471,12 @@ def sample_and_aggregate_slicewarp(
                 .transpose(0, 1, 2, 4, 3, 5)
                 .reshape(B, V, S, X, Z)
             )
+    elif pre_sliced:
+        S = K * Z
+        RX, RY = X, Y
+
+        def to_slices(a):  # already (z-major): free reshape
+            return a.reshape(B, V, S, X, Y)
     else:
         S = K * Z
         RX, RY = X, Y
@@ -537,26 +554,30 @@ def sample_and_aggregate_slicewarp(
             jnp.maximum(failed_max, n_failed),
         ), None
 
-    views = (
-        jnp.moveaxis(heatmaps, 1, 0),
-        jnp.moveaxis(xs, 1, 0),
-        jnp.moveaxis(ys, 1, 0),
-        jnp.moveaxis(bnd, 1, 0),
-        jnp.moveaxis(flips, 1, 0),
+    # static python loop over the (few) views: a lax.scan would moveaxis
+    # every (B, V, S, X, Y) operand to view-major — three more full-tensor
+    # transposes — and force the accumulators through HBM carry buffers;
+    # unrolled, each view is a strided slice and XLA fuses the accumulate
+    # into the kernel output's consumer
+    acc = (
+        jnp.zeros((B, S, J, RX, RY), jnp.float32),
+        jnp.zeros((B, S, RX, RY), jnp.float32),
+        jnp.zeros((B,), jnp.float32),
     )
-    (wsum, bsum, failed_max), _ = jax.lax.scan(
-        step,
-        (
-            jnp.zeros((B, S, J, RX, RY), jnp.float32),
-            jnp.zeros((B, S, RX, RY), jnp.float32),
-            jnp.zeros((B,), jnp.float32),
-        ),
-        views,
-    )
+    for v in range(V):
+        acc, _ = step(
+            acc, (heatmaps[:, v], xs[:, v], ys[:, v], bnd[:, v], flips[:, v])
+        )
+    wsum, bsum, failed_max = acc
     cubes = wsum / (bsum[:, :, None, :, :] + 1e-6)
     cubes = jnp.clip(jnp.nan_to_num(cubes, nan=0.0), 0.0, 1.0)
+    if out_layout == "ndhwc":
+        assert slice_axis == "z"
+        out = cubes.reshape(B, K, Z, J, X, Y).transpose(
+            0, 1, 4, 5, 2, 3
+        )  # (B, K, X, Y, Z, J)
     # regroup slices -> (B, J, N) with x-major/z-minor flattening
-    if slice_axis == "y":
+    elif slice_axis == "y":
         out = (
             cubes.reshape(B, K, Y, J, X, Z)
             .transpose(0, 3, 1, 4, 2, 5)  # (B, J, K, X, Y, Z)

@@ -107,6 +107,58 @@ def test_posenet_cubes_both_mode(rng):
     assert err.max() < 1e-3, err.max()
 
 
+def test_posenet_pre_sliced_ndhwc(rng):
+    """The production PoseNet fast path (r4): grid built z-slice-major
+    (compute_grid order='zxy') + pre_sliced sampling + direct NDHWC
+    output must equal the x-major gather path re-laid-out — same values,
+    five fewer full-tensor transposes."""
+    from selfpose3d_tpu.config import load_config
+    from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+    from selfpose3d_tpu.geometry.grid import compute_grid
+    from selfpose3d_tpu.ops.unproject import (
+        compute_sample_grid,
+        sample_and_aggregate_cmajor,
+        sample_and_aggregate_slicewarp,
+    )
+
+    cfg = load_config(overrides={
+        "NETWORK": {"IMAGE_SIZE": [960, 512], "HEATMAP_SIZE": [240, 128],
+                    "NUM_JOINTS": 3, "SIGMA": 3},
+        "DATASET": {"CAMERA_NUM": 3},
+    })
+    branch, _ = make_synthetic_branch(cfg, batch_size=1, num_person=3,
+                                      with_images=False)
+    hm = branch.input_heatmaps[..., :3]
+    B, V, H, W, J = hm.shape
+    K, X = 4, 32
+    N = X * X * X
+    roots = jnp.asarray(np.asarray(branch.roots_3d)[:, :K])
+
+    def mk(order):
+        g = jax.vmap(jax.vmap(
+            lambda c: compute_grid((2000.0, 2000.0, 2000.0), c, (X, X, X),
+                                   order=order)
+        ))(roots)
+        return compute_sample_grid(
+            g.reshape(B, 1, K * N, 3), branch.cam, branch.trans,
+            (960, 512), (W, H), orig_wh=branch.orig_wh,
+        )
+
+    sg_x, bnd_x = mk("xyz")
+    exact = np.asarray(sample_and_aggregate_cmajor(hm, sg_x, bnd_x))
+    exact_ndhwc = exact.reshape(B, J, K, X, X, X).transpose(0, 2, 3, 4, 5, 1)
+
+    sg_z, bnd_z = mk("zxy")
+    warp = np.asarray(sample_and_aggregate_slicewarp(
+        hm, sg_z, bnd_z, (X, X, X), num_cubes=K, mode="both",
+        pre_sliced=True, out_layout="ndhwc",
+    ))
+    assert warp.shape == (B, K, X, X, X, J)
+    err = np.abs(exact_ndhwc - warp)
+    assert err.max() < 1e-3, err.max()
+    assert exact_ndhwc.max() > 0.1
+
+
 def test_whole_space_dual_slicing(rng):
     """The RootNet whole-space path: cameras sit INSIDE the space
     footprint, so horizontal rows pointing at a camera go non-monotone en

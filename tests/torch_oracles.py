@@ -469,7 +469,10 @@ class TorchSSVLossPipeline:
                 for t in range(num_gt):
                     for p in range(num_pred):
                         d[t, p] = ((prd[p] - tgt[t]) * vis[t]).abs().mean()
-                rr, cc = linear_sum_assignment(d.numpy())
+                # assignment indices are discrete (non-differentiable);
+                # detach so the oracle also runs under grad for the train-
+                # step baseline (scripts/baseline_torch_train_cpu.py)
+                rr, cc = linear_sum_assignment(d.detach().numpy())
                 losses[nv * B + bs] = d[rr, cc].sum()
         if c.L1_ATTN:
             mask = torch.ones(V * B)
