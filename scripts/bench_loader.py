@@ -15,6 +15,12 @@ import json
 import os
 import time
 
+import jax
+
+# host-pipeline bench: never touch the accelerator (a wedged device tunnel
+# must not stall a pure-CPU measurement)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 

@@ -106,6 +106,20 @@ def main():
 
     rec("full_presliced_ndhwc", timeit(jax.jit(full_presliced), centers))
 
+    def full_fused(c):
+        fg = grids_zxy(c)
+        sg, bd = compute_sample_grid(
+            fg, branch.cam, branch.trans, tuple(cfg.NETWORK.IMAGE_SIZE),
+            (W, H), hflip=None, orig_wh=branch.orig_wh,
+        )
+        out = sample_and_aggregate_slicewarp(
+            hm, sg, bd, cube, num_cubes=K, dtype=jnp.bfloat16,
+            pre_sliced=True, out_layout="ndhwc", fused=True,
+        )
+        return jnp.sum(out.astype(jnp.float32))
+
+    rec("full_fused_agg", timeit(jax.jit(full_fused), centers))
+
 
 if __name__ == "__main__":
     main()

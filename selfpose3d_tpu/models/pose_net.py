@@ -195,6 +195,10 @@ class PoseNet(nn.Module):
                 dtype=sw_dtype,
                 pre_sliced=True,
                 out_layout="ndhwc",
+                # inference: multi-view fused kernel (samples + f32
+                # accumulators stay in VMEM across views); training keeps
+                # the per-view path, whose custom VJP is the Pallas adjoint
+                fused=not train,
             ).reshape(B * K, X, Y, Z, J)
         else:
             feats = sample_and_aggregate_cmajor(

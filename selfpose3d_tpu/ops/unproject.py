@@ -407,6 +407,7 @@ def sample_and_aggregate_slicewarp(
     slice_axis: str = "z",
     pre_sliced: bool = False,
     out_layout: str = "cmajor",
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Slice-warp (Pallas) sampling path -> (B, J, N).
 
@@ -439,6 +440,10 @@ def sample_and_aggregate_slicewarp(
                    'ndhwc' -> (B, K, X, Y, Z, J), the PoseNet V2V input
                    layout, emitted with ONE transpose instead of the
                    cmajor regroup + the consumer's NDHWC transpose.
+      fused:       run the multi-view fused kernel (slice_warp_sample_agg):
+                   samples and the f32 accumulators stay in VMEM across the
+                   views of one slice block instead of round-tripping HBM.
+                   INFERENCE ONLY (no VJP) and 'flags' mode only.
       slice_axis: 'z' (default) — slices are z-planes with lattice rows
                    along voxel-x/y; right for person-centered cubes.
                    'y' — slices over lattice Y with rows along voxel-Z
@@ -521,6 +526,19 @@ def sample_and_aggregate_slicewarp(
 
     fix = mode in ("both_fix", "flags_fix")
 
+    if fused and not fix:
+        from selfpose3d_tpu.ops.slicewarp import slice_warp_sample_agg
+
+        mean, nfail = slice_warp_sample_agg(
+            heatmaps, xs, ys, bnd, flips, table_dtype=dtype
+        )  # (B, S, JO, X, Y) already normalized + clipped
+        cubes = mean[:, :, :J].astype(jnp.float32)
+        failed_max = jnp.max(nfail, axis=1)  # worst view per sample
+        return _sw_regroup(
+            cubes, failed_max, out_layout, slice_axis,
+            B, K, X, Y, Z, J, N, return_stats,
+        )
+
     def step(acc, view):
         wsum, bsum, failed_max = acc
         hm, x_v, y_v, b_v, flip_v = view
@@ -571,6 +589,16 @@ def sample_and_aggregate_slicewarp(
     wsum, bsum, failed_max = acc
     cubes = wsum / (bsum[:, :, None, :, :] + 1e-6)
     cubes = jnp.clip(jnp.nan_to_num(cubes, nan=0.0), 0.0, 1.0)
+    return _sw_regroup(
+        cubes, failed_max, out_layout, slice_axis,
+        B, K, X, Y, Z, J, N, return_stats,
+    )
+
+
+def _sw_regroup(cubes, failed_max, out_layout, slice_axis,
+                B, K, X, Y, Z, J, N, return_stats):
+    """Regroup (B, S, J, RX, RY) slice-major cubes to the requested output
+    layout; shared by the per-view and fused sampling paths."""
     if out_layout == "ndhwc":
         assert slice_axis == "z"
         out = cubes.reshape(B, K, Z, J, X, Y).transpose(

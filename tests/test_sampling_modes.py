@@ -159,6 +159,48 @@ def test_posenet_pre_sliced_ndhwc(rng):
     assert exact_ndhwc.max() > 0.1
 
 
+def test_fused_view_aggregation_matches_unrolled(rng):
+    """The fused multi-view kernel (inference path) == the per-view
+    unrolled path through the same wrapper."""
+    from selfpose3d_tpu.config import load_config
+    from selfpose3d_tpu.data.synthetic import make_synthetic_branch
+    from selfpose3d_tpu.geometry.grid import compute_grid
+    from selfpose3d_tpu.ops.unproject import (
+        compute_sample_grid,
+        sample_and_aggregate_slicewarp,
+    )
+
+    cfg = load_config(overrides={
+        "NETWORK": {"IMAGE_SIZE": [960, 512], "HEATMAP_SIZE": [240, 128],
+                    "NUM_JOINTS": 3, "SIGMA": 3},
+        "DATASET": {"CAMERA_NUM": 3},
+    })
+    branch, _ = make_synthetic_branch(cfg, batch_size=1, num_person=3,
+                                      with_images=False)
+    hm = branch.input_heatmaps[..., :3]
+    B, V, H, W, J = hm.shape
+    K, X = 2, 16
+    N = X * X * X
+    roots = jnp.asarray(np.asarray(branch.roots_3d)[:, :K])
+    g = jax.vmap(jax.vmap(
+        lambda c: compute_grid((2000.0, 2000.0, 2000.0), c, (X, X, X),
+                               order="zxy")
+    ))(roots)
+    sg, bnd = compute_sample_grid(
+        g.reshape(B, 1, K * N, 3), branch.cam, branch.trans,
+        (960, 512), (W, H), orig_wh=branch.orig_wh,
+    )
+    kw = dict(cube_size=(X, X, X), num_cubes=K, mode="flags",
+              pre_sliced=True, out_layout="ndhwc")
+    base, st0 = sample_and_aggregate_slicewarp(
+        hm, sg, bnd, return_stats=True, **kw)
+    fused, st1 = sample_and_aggregate_slicewarp(
+        hm, sg, bnd, return_stats=True, fused=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(base), atol=1e-5)
+    assert float(st1["sw_failed_max"]) == float(st0["sw_failed_max"])
+
+
 def test_whole_space_dual_slicing(rng):
     """The RootNet whole-space path: cameras sit INSIDE the space
     footprint, so horizontal rows pointing at a camera go non-monotone en
