@@ -24,7 +24,7 @@ from flax import linen as nn
 from selfpose3d_tpu.geometry.cameras import CameraParams
 from selfpose3d_tpu.geometry.grid import compute_grid
 from selfpose3d_tpu.models.v2v_net import V2VNet
-from selfpose3d_tpu.ops.softargmax import soft_argmax
+from selfpose3d_tpu.ops.softargmax import soft_argmax_ndhwc
 from selfpose3d_tpu.ops.unproject import (
     compute_sample_grid,
     sample_and_aggregate_cmajor,
@@ -146,12 +146,6 @@ class PoseNet(nn.Module):
         centers = grid_centers[..., :3]  # (B, K, 3)
         valid = (grid_centers[..., 3] >= 0).astype(jnp.float32)  # (B, K)
 
-        # per-candidate voxel grids: (B, K, N, 3), x-major (soft-argmax
-        # contract)
-        grids = jax.vmap(jax.vmap(
-            lambda c: compute_grid(self.grid_size, c, self.cube_size)
-        ))(centers)
-
         hflip_bv = (
             None if hflip is None else jnp.broadcast_to(
                 jnp.asarray(hflip).reshape(-1, 1), (B, V)
@@ -173,6 +167,10 @@ class PoseNet(nn.Module):
             ))(centers)
             flat_grids = grids_sw.reshape(B, 1, K * N, 3)
         else:
+            # x-major per-candidate voxel grids (gather-path sampling)
+            grids = jax.vmap(jax.vmap(
+                lambda c: compute_grid(self.grid_size, c, self.cube_size)
+            ))(centers)
             flat_grids = grids.reshape(B, 1, K * N, 3)
         # sampling coords for all candidates against each view's heatmap:
         # grid (B, 1(V), K*N, 3) vs cam (B, V) -> (B, V, K*N, 2)
@@ -222,7 +220,21 @@ class PoseNet(nn.Module):
             bn_mask = (stats_sel > 0).reshape(B * K, 1, 1, 1, 1)
         scored = self._apply_v2v(cubes, bn_mask, B, K, train)  # (B*K, X, Y, Z, J)
 
-        scores = scored.reshape(B, K, N, J).transpose(0, 1, 3, 2)  # (B, K, J, N)
-        pred = soft_argmax(scores, grids, beta=self.beta)  # (B, K, J, 3)
+        # separable soft-argmax directly on the NDHWC volume: no
+        # (B, K, J, N) score transpose and no (B, K, N, 3) grid tensor
+        # (identical math — the voxel grid is axis-separable)
+        offs = [
+            jnp.linspace(
+                -float(self.grid_size[d]) / 2.0,
+                float(self.grid_size[d]) / 2.0,
+                int(self.cube_size[d]),
+            )
+            for d in range(3)
+        ]
+        c_flat = centers.reshape(B * K, 3)
+        axes = tuple(c_flat[:, d : d + 1] + offs[d][None] for d in range(3))
+        pred = soft_argmax_ndhwc(scored, axes, beta=self.beta).reshape(
+            B, K, J, 3
+        )
         pred = pred * valid[..., None, None]
         return pred, valid

@@ -164,6 +164,35 @@ class TestSoftArgmax:
         exp = torch.einsum("bjn,bnc->bjc", tx, torch.from_numpy(grids)).numpy()
         np.testing.assert_allclose(got, exp, rtol=1e-3, atol=1e-4)
 
+    def test_separable_ndhwc_matches_flat(self, rng):
+        """soft_argmax_ndhwc == soft_argmax on the flattened volume with
+        the separable grid compute_grid builds (the PoseNet cube)."""
+        from selfpose3d_tpu.geometry.grid import compute_grid
+        from selfpose3d_tpu.ops.softargmax import soft_argmax_ndhwc
+
+        B, J = 3, 4
+        X, Y, Z = 6, 5, 4
+        box = (300.0, 250.0, 200.0)
+        centers = jnp.asarray(rng.rand(B, 3).astype(np.float32) * 50)
+        x = rng.rand(B, X, Y, Z, J).astype(np.float32) * 4
+        grids = jax.vmap(
+            lambda c: compute_grid(box, c, (X, Y, Z))
+        )(centers)  # (B, N, 3) x-major
+        flat = jnp.asarray(
+            x.reshape(B, X * Y * Z, J).transpose(0, 2, 1)
+        )  # (B, J, N)
+        exp = np.asarray(soft_argmax(flat, grids, beta=100.0))
+
+        offs = [
+            jnp.linspace(-box[d] / 2, box[d] / 2, (X, Y, Z)[d])
+            for d in range(3)
+        ]
+        axes = tuple(centers[:, d : d + 1] + offs[d][None] for d in range(3))
+        got = np.asarray(
+            soft_argmax_ndhwc(jnp.asarray(x), axes, beta=100.0)
+        )
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)
+
 
 class TestHungarian:
     def test_matches_scipy_square(self, rng):
