@@ -67,7 +67,33 @@ def _fallback_occupancy(cfg, branch):
     return float(occupancy(branch.cam, branch.trans, branch.orig_wh))
 
 
+def _device_preflight(timeout_s: float = 180.0) -> None:
+    """Fail FAST (with a clear message) if the accelerator is unreachable.
+
+    jax.devices() on the axon backend blocks forever when the stdio relay
+    tunnel (/root/.tpu_init.py) has died — observed mid-r4 — which would
+    hang the whole bench harness. Probe in a subprocess with a timeout so
+    a dead tunnel yields a diagnosable non-zero exit instead."""
+    import subprocess
+    import sys
+
+    probe = "import jax; d = jax.devices(); print(d[0].platform)"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            return
+        msg = proc.stderr.strip()[-400:]
+    except subprocess.TimeoutExpired:
+        msg = f"device enumeration hung > {timeout_s:.0f}s (tunnel dead?)"
+    print(f"bench: accelerator unreachable — {msg}", file=sys.stderr)
+    raise SystemExit(3)
+
+
 def main():
+    _device_preflight()
     import jax
 
     # persistent compile cache: full-model XLA compiles through the axon
