@@ -385,9 +385,13 @@ class MultiPersonPoseNetSSV(nn.Module):
         J = c.NETWORK.NUM_JOINTS
         pred2_out = None
         # host-dispatch candidate cap: static slice of the score-sorted
-        # proposals, single-branch PoseNet graph
+        # proposals, single-branch PoseNet graph. The in-graph nn.switch is
+        # INFERENCE-ONLY (config.py TRAIN.BUCKET_DISPATCH): a multi-branch
+        # graph under grad retains every branch's backward and OOMs the
+        # compiler, so the train path always runs a single branch — full K
+        # here, or the host-dispatched k_cap slice.
         Kp = int(k_cap) if k_cap else K
-        bucketed = k_cap is None
+        bucketed = False
         gc_pose = grid_centers[:, :Kp]
 
         if train_posenet_stage:
