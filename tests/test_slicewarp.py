@@ -341,6 +341,47 @@ class TestPallasAdjoint:
         unpacked = np.asarray(sw.slice_warp_adjoint(*args))
         np.testing.assert_allclose(packed, unpacked, atol=1e-6)
 
+    def test_fused_agg_matches_per_view(self, rng):
+        """slice_warp_sample_agg (multi-view fused, inference path) ==
+        per-view forward + masked mean, incl. bf16 channel-pair packing
+        and pair-consistent flip variants."""
+        B, V, H, W, J = 1, 2, 64, 96, 5
+        S, X, Y = 4, 16, 16
+        hm = jnp.asarray(rng.rand(B, V, H, W, J).astype(np.float32))
+        u, vg = np.mgrid[0:X, 0:Y].astype(np.float32)
+        xs = np.zeros((B, V, S, X, Y), np.float32)
+        ys = np.zeros((B, V, S, X, Y), np.float32)
+        flips = np.zeros((B, V, S), np.int32)
+        for vv in range(V):
+            for s in range(S):
+                if s < 2:
+                    xs[0, vv, s] = 5 + 2.8 * vg + 0.1 * u + 2 * s
+                    ys[0, vv, s] = 4 + 1.5 * u + 0.1 * vg + s
+                else:  # steep in y -> swapped variant, pair-consistent
+                    xs[0, vv, s] = 10 + 0.2 * vg + 0.3 * u + s
+                    ys[0, vv, s] = 3 + 3.0 * vg + s
+                    flips[0, vv, s] = 1
+        bnd = (rng.rand(B, V, S, X, Y) > 0.3).astype(np.float32)
+
+        for dt, tol in ((None, 1e-6), (jnp.bfloat16, 4e-3)):
+            ws = np.zeros((B, S, J, X, Y), np.float32)
+            bs = np.zeros((B, S, X, Y), np.float32)
+            for vv in range(V):
+                out, _ = sw.slice_warp_sample(
+                    hm[:, vv], jnp.asarray(xs[:, vv]), jnp.asarray(ys[:, vv]),
+                    flip=jnp.asarray(flips[:, vv]), table_dtype=dt,
+                )
+                ws += np.asarray(out, dtype=np.float32) * bnd[:, vv][:, :, None]
+                bs += bnd[:, vv]
+            ref = np.clip(ws / (bs[:, :, None] + 1e-6), 0, 1)
+            mean, nfail = sw.slice_warp_sample_agg(
+                hm, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bnd),
+                jnp.asarray(flips), table_dtype=dt,
+            )
+            got = np.asarray(mean, dtype=np.float32)[:, :, :J]
+            np.testing.assert_allclose(got, ref, atol=tol)
+            assert nfail.shape == (B, V)
+
     def test_adjoint_top_edge(self, rng):
         """Points straddling the top image border (y0 = -1): their B/D
         taps land on row 0 — pinned by the +1 count encoding."""
