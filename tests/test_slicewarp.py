@@ -414,6 +414,47 @@ class TestPallasAdjoint:
         np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+class TestRandomizedExactRegime:
+    def test_forward_and_adjoint_fuzz(self, rng):
+        """Randomized geometries inside the exactness regime (jump-free
+        hosting: the hosting coordinate has no lattice-row slope; the
+        hosted coordinate is strictly monotone along rows): forward ==
+        exact bilinear and adjoint == scatter, across directions,
+        steepness, offsets, and packed pairs."""
+        B, H, W, J = 1, 64, 96, 2
+        S, X, Y = 2, 16, 16
+        u, v = np.mgrid[0:X, 0:Y].astype(np.float32)
+        for trial in range(6):
+            xs = np.zeros((B, S, X, Y), np.float32)
+            ys = np.zeros((B, S, X, Y), np.float32)
+            for s in range(S):
+                sx = rng.uniform(1.5, 4.0) * (1 if rng.rand() < 0.5 else -1)
+                x0 = rng.uniform(10, 80) if sx > 0 else rng.uniform(30, 90)
+                ry = rng.uniform(0.5, 2.5) * (1 if rng.rand() < 0.5 else -1)
+                y0 = rng.uniform(20, 40)
+                # hosting coord: v-slope only (no u term -> no host jumps)
+                xs[0, s] = x0 + sx * v
+                # hosted coord: strictly monotone along u, mild v drift
+                ys[0, s] = y0 + ry * u + rng.uniform(-0.3, 0.3) * v
+            hm = jnp.asarray(smooth_heatmap(rng, B, H, W, J))
+            out, ok = sw.slice_warp_sample(
+                hm, jnp.asarray(xs), jnp.asarray(ys))
+            exact = exact_bilinear(np.asarray(hm), xs, ys)
+            okn = np.asarray(ok)[:, :, None]
+            dev = np.abs(np.asarray(out) - exact) * okn
+            assert dev.max() < 1e-5, (trial, dev.max())
+            assert okn.mean() > 0.95, (trial, okn.mean())
+
+            g = rng.rand(B, S, J, X, Y).astype(np.float32)
+            ref = scatter_adjoint_ref((B, H, W, J), xs, ys, g, ok)
+            got = np.asarray(sw.slice_warp_adjoint(
+                (B, H, W, J), jnp.asarray(xs), jnp.asarray(ys),
+                jnp.asarray(g), ok,
+            ))
+            np.testing.assert_allclose(got, ref, atol=2e-5,
+                                       err_msg=f"trial {trial}")
+
+
 class TestAdjointGuards:
     """Round-4 advisor fixes: pair-consistent flip flags under packing, and
     the adjoint's per-column monotonicity guard."""
