@@ -15,7 +15,7 @@ from selfpose3d_tpu.ops.proposal import (
     proposals_soft,
     match_proposals_to_gt,
 )
-from selfpose3d_tpu.ops.softargmax import soft_argmax
+from selfpose3d_tpu.ops.softargmax import soft_argmax, soft_argmax_ndhwc
 from selfpose3d_tpu.ops.matching import hungarian, masked_assignment_cost
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "proposals_soft",
     "match_proposals_to_gt",
     "soft_argmax",
+    "soft_argmax_ndhwc",
     "hungarian",
     "masked_assignment_cost",
 ]
