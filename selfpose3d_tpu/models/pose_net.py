@@ -15,6 +15,7 @@ MXU work instead of K small launches.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -195,8 +196,16 @@ class PoseNet(nn.Module):
                 out_layout="ndhwc",
                 # inference: multi-view fused kernel (samples + f32
                 # accumulators stay in VMEM across views); training keeps
-                # the per-view path, whose custom VJP is the Pallas adjoint
-                fused=not train,
+                # the per-view path, whose custom VJP is the Pallas adjoint.
+                # Opt-in (SP3D_FUSED_AGG=1) until its first REAL Mosaic
+                # compile is validated — interpret-mode tests pin the
+                # semantics, but Mosaic lowering gaps (e.g. bool-valued
+                # selects) only surface on hardware, and the TPU tunnel was
+                # down for the r4 close; the per-view path is the measured,
+                # hardware-proven default.
+                fused=(not train) and os.environ.get(
+                    "SP3D_FUSED_AGG", "0"
+                ) == "1",
             ).reshape(B * K, X, Y, Z, J)
         else:
             feats = sample_and_aggregate_cmajor(
