@@ -137,12 +137,21 @@ class TrainConfig:
     #     multi-branch TRAIN graph OOMs the remote compiler
     #     (ARCHITECTURE.md "Training path").
     #   'meta': pick a CANDIDATE_BUCKETS bucket per step on the HOST from
-    #     the batch's person count (max num_person + 1 slack) and run a
-    #     per-bucket compiled single-branch graph — PoseNet train cost then
-    #     scales with the scene like the reference's valid-candidate loop.
-    #     Documented deviation: above-threshold proposals beyond the bucket
-    #     (RootNet false positives past people-count+1) are dropped from
-    #     the SSV losses; the reference processes all of them.
+    #     the batch's GT person count (max num_person + 1 slack; all hosts
+    #     agree via a process allgather so SPMD programs never diverge) and
+    #     run a per-bucket compiled single-branch graph — PoseNet train cost
+    #     then scales with the scene like the reference's valid-candidate
+    #     loop. Documented deviation vs the reference, which dispatches on
+    #     the PROPOSAL count (threshold-only,
+    #     ref: cuboid_proposal_net_soft.py:64-66): dispatching on GT count
+    #     means above-threshold proposals beyond the bucket (an untrained
+    #     RootNet's false positives past people-count+1) are DROPPED from
+    #     the SSV losses — the k_cap slice keeps the highest-score
+    #     proposals, exactly as if the dropped ones had been invalidated
+    #     (pinned by tests/test_candidate_buckets.py::TestHostBucketDispatch
+    #     ::test_kcap_truncation_drops_lowest_score). The reference
+    #     processes all of them. With a trained RootNet the counts agree
+    #     and the modes are equivalent; 'none' is exact always.
     BUCKET_DISPATCH: str = "none"
 
 

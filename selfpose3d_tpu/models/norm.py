@@ -31,6 +31,28 @@ from flax import linen as nn
 # 'scale'/'bias' param creation bit-identical to nn.BatchNorm.
 from flax.linen import normalization as _fnz
 
+# import-time guard (advisor r4): both calls below pass keyword arguments,
+# so a flax upgrade that RENAMES/REMOVES a parameter fails loudly here
+# instead of silently changing train-path BN math.
+import inspect as _inspect
+
+_need = {
+    "_normalize": {"mdl", "x", "mean", "var", "reduction_axes", "feature_axes",
+                   "dtype", "param_dtype", "epsilon", "use_bias", "use_scale",
+                   "bias_init", "scale_init"},
+    "_compute_stats": {"x", "axes", "dtype", "axis_name", "axis_index_groups",
+                       "use_fast_variance", "mask", "force_float32_reductions"},
+}
+for _fn, _params in _need.items():
+    _have = set(_inspect.signature(getattr(_fnz, _fn)).parameters)
+    _missing = _params - _have
+    if _missing:  # pragma: no cover - trips only on an incompatible flax
+        raise ImportError(
+            f"flax.linen.normalization.{_fn} lost parameters {_missing} — "
+            "FastBatchNorm (selfpose3d_tpu/models/norm.py) pins this private "
+            "API; re-verify train-path BN math against nn.BatchNorm"
+        )
+
 
 def conv_fence(x):
     """Barrier against XLA:TPU's conv-into-conv producer fusion.
@@ -126,18 +148,18 @@ class FastBatchNorm(nn.Module):
                 self.momentum * ra_var.value + (1 - self.momentum) * var
             )
         return _fnz._normalize(
-            self,
-            x,
-            mean,
-            var,
-            reduction_axes,
-            feature_axes,
-            self.dtype,
-            jnp.float32,
-            self.epsilon,
-            True,
-            True,
-            nn.initializers.zeros,
-            nn.initializers.ones,
-            True,
+            mdl=self,
+            x=x,
+            mean=mean,
+            var=var,
+            reduction_axes=reduction_axes,
+            feature_axes=feature_axes,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            epsilon=self.epsilon,
+            use_bias=True,
+            use_scale=True,
+            bias_init=nn.initializers.zeros,
+            scale_init=nn.initializers.ones,
+            force_float32_reductions=True,
         )

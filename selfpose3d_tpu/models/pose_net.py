@@ -197,14 +197,14 @@ class PoseNet(nn.Module):
                 # inference: multi-view fused kernel (samples + f32
                 # accumulators stay in VMEM across views); training keeps
                 # the per-view path, whose custom VJP is the Pallas adjoint.
-                # Opt-in (SP3D_FUSED_AGG=1) until its first REAL Mosaic
-                # compile is validated — interpret-mode tests pin the
-                # semantics, but Mosaic lowering gaps (e.g. bool-valued
-                # selects) only surface on hardware, and the TPU tunnel was
-                # down for the r4 close; the per-view path is the measured,
-                # hardware-proven default.
+                # DEFAULT ON since r5: first real Mosaic compile validated
+                # on v5e (after widening the SMEM flip/nfail blocks to full
+                # trailing dims) and measured faster than the per-view path
+                # at K=10 bench shapes — 236.2 vs 243.3 ms/batch
+                # (scripts/microbench_sampwrap.py). SP3D_FUSED_AGG=0 opts
+                # back out to the per-view path.
                 fused=(not train) and os.environ.get(
-                    "SP3D_FUSED_AGG", "0"
+                    "SP3D_FUSED_AGG", "1"
                 ) == "1",
             ).reshape(B * K, X, Y, Z, J)
         else:

@@ -414,6 +414,17 @@ def slice_warp_sample(
     for 16-bit operands (probed: i16/i32/u16 indices all fail to compile),
     so true bf16 tables wait on a Mosaic feature.
 
+    Flip-flag semantics under slice-pair packing (advisor r4): when
+    ``kernel_packs_pairs`` holds, each ODD slice's flip flag is silently
+    OVERWRITTEN with its even pair-mate's before the kernel runs — the
+    packed forward and packed adjoint share one variant flag per pair, so
+    an odd slice whose own flag disagrees is sampled (and differentiated)
+    with the even slice's orientation variant; points where that variant's
+    hosting fails for the odd slice land in the ok-mask drop set. Callers
+    that need per-slice flags exactly must pass pair-consistent flips
+    (the production wrappers in ops/unproject.py choose flags per
+    pair-mean pitch, so they always do).
+
     The backward w.r.t. the heatmap is the exact adjoint of bilinear
     sampling (4-tap scatter-add, matching the gather path's autodiff).
     Sample coordinates receive ZERO cotangents: every call site derives them
@@ -427,11 +438,12 @@ def slice_warp_sample(
         flip = jnp.zeros((B, S), jnp.int32)
     elif kernel_packs_pairs(xs.shape[2:4], S):
         # Slice-pair packing applies the EVEN slice's variant flag to both
-        # slices of a pair inside the kernel; the adjoint runs unpacked and
-        # honors each slice's own flag. Force pair-consistency here so the
-        # forward and backward always agree on orientation — otherwise a
-        # caller passing pair-inconsistent flips (nothing forbids it) gets
-        # silently misattributed heatmap gradients (advisor r3).
+        # slices of a pair — in the forward kernel AND in the (r4) packed
+        # adjoint, which shares the same pair layout. Force pair-consistency
+        # here so any caller passing pair-inconsistent flips (nothing forbids
+        # it) gets the overridden-odd-slice semantics CONSISTENTLY in both
+        # directions instead of misattributed heatmap gradients (advisor r3);
+        # see the docstring note on which sampling variant odd slices get.
         flip = jnp.asarray(flip)
         flip = flip.at[:, 1::2].set(flip[:, 0::2])
     # bf16 requests take the channel-pair-packed kernel: two channels per
@@ -663,6 +675,7 @@ def _slice_warp_agg_kernel(
     shapes (scripts/microbench_sampwrap.py). The bounded mean is
     normalized in-kernel on the last view and written once as ``out_dt``.
     """
+    s_blk = pl.program_id(1)
     v = pl.program_id(2)
     square = X == Y
 
@@ -701,7 +714,9 @@ def _slice_warp_agg_kernel(
                     )
             return br
 
-        flag = flip_ref[0, 0, PACK * si]
+        # flip block is (1, S//SB, SB) in SMEM (full trailing dims — Mosaic's
+        # block-shape rule rejects partial sub-(8,128) SMEM blocks)
+        flag = flip_ref[0, s_blk, PACK * si]
         if square:
             jax.lax.switch(
                 jnp.clip(flag, 0, 3),
@@ -723,9 +738,10 @@ def _slice_warp_agg_kernel(
     acc_s[...] = acc_s[...] + samp * bnd[:, None]
     bacc_s[...] = bacc_s[...] + bnd
     # per-(b, slice-block, view) hosting-failure count (telemetry); padded
-    # rows' ok is garbage — count valid rows only
+    # rows' ok is garbage — count valid rows only. The nfail block is the
+    # full (S//SB, V) SMEM plane per batch (same Mosaic rule as flip).
     okb = ok_s[0, 0][:, :X]
-    nfail_ref[0, 0, 0] = jnp.sum(1.0 - okb)
+    nfail_ref[0, s_blk, v] = jnp.sum(1.0 - okb)
 
     @pl.when(v == V - 1)
     def _finalize():
@@ -814,7 +830,7 @@ def slice_warp_sample_agg(
         ),
         grid=(B, S // SB, V),
         in_specs=[
-            pl.BlockSpec((1, 1, SB), lambda b, s, v: (b * V + v, s, 0),
+            pl.BlockSpec((1, S // SB, SB), lambda b, s, v: (b * V + v, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, SB, Xp, Yp), bv,
                          memory_space=pltpu.VMEM),
@@ -833,7 +849,7 @@ def slice_warp_sample_agg(
             pl.BlockSpec((1, 1, SB, JO, Xp, Y),
                          lambda b, s, v: (b, s, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, s, v: (b, s, v),
+            pl.BlockSpec((1, S // SB, V), lambda b, s, v: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[

@@ -74,6 +74,16 @@ def train_epoch_ssv(
         if not dispatch_buckets:
             return step_fn
         need = min(int(np.max(np.asarray(b3.num_person))) + 1, K_max)
+        if jax.process_count() > 1:
+            # every host must dispatch the SAME compiled program: the jitted
+            # step carries cross-host collectives, so disagreeing bucket
+            # choices desynchronize SPMD training (advisor r4). Agree on the
+            # global max person count before choosing.
+            from jax.experimental import multihost_utils
+
+            need = int(
+                np.max(multihost_utils.process_allgather(np.int32(need)))
+            )
         k = next(b for b in dispatch_buckets if b >= need)
         return make_ssv_train_step(
             model, train_posenet_stage=posenet_stage, use_l1_stage=l1_stage,
@@ -276,11 +286,25 @@ def validate_3d(
         # per-host stripe lengths can differ by 1: pad to the max before the
         # fixed-shape allgather, then drop the padding via idx == -1
         cap = -(-len(dataset) // jax.process_count())
+        assert len(idx_arr) <= cap, (
+            f"host {jax.process_index()} produced {len(idx_arr)} rows, more "
+            f"than the per-host stripe cap {cap} — loader striping and the "
+            "fixed-shape allgather disagree"
+        )
         pad = cap - len(idx_arr)
         if pad > 0:
+            if len(preds) == 0:
+                # empty stripe (len(dataset) < process_count): there is no
+                # row to repeat, so pad with zeros of the known pred shapes
+                K = cfg.MULTI_PERSON.MAX_PEOPLE_NUM
+                J = cfg.NETWORK.NUM_JOINTS
+                preds = np.zeros((0, K, J, 5), np.float32)
+                roots = np.zeros((0, K, 5), np.float32)
             idx_arr = np.concatenate([idx_arr, np.full(pad, -1, np.int64)])
-            preds = np.concatenate([preds, np.repeat(preds[-1:], pad, 0)])
-            roots = np.concatenate([roots, np.repeat(roots[-1:], pad, 0)])
+            fill_p = np.zeros((pad,) + preds.shape[1:], preds.dtype)
+            fill_r = np.zeros((pad,) + roots.shape[1:], roots.dtype)
+            preds = np.concatenate([preds, fill_p])
+            roots = np.concatenate([roots, fill_r])
         idx_arr, preds, roots = process_allgather_tree((idx_arr, preds, roots))
         keep = idx_arr >= 0
         idx_arr, preds, roots = idx_arr[keep], preds[keep], roots[keep]

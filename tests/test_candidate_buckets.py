@@ -167,6 +167,57 @@ class TestHostBucketDispatch:
         )
         assert np.all(np.asarray(pred_cap)[:, 2:, :, :3] == 0)
 
+    def test_kcap_truncation_drops_lowest_score(self):
+        """Pin the documented 'meta'-dispatch deviation (config.py
+        TRAIN.BUCKET_DISPATCH): when more proposals are valid than the cap,
+        the k_cap slice keeps the FIRST Kp (highest-score) proposals and the
+        losses equal a full-K run in which the dropped proposals were
+        invalidated — i.e. truncation behaves exactly like invalidation, it
+        never corrupts the kept candidates' losses."""
+        from selfpose3d_tpu.models import get_model
+
+        cfg = small_cfg(
+            NETWORK={"USE_GT": True},
+            MULTI_PERSON={"MAX_PEOPLE_NUM": 4},
+        )
+        model = get_model(cfg)
+        B = 2
+        # 3 valid GT proposals per sample; the cap keeps only 2
+        b1, _ = make_synthetic_branch(cfg, batch_size=B, num_person=3,
+                                      with_images=False, rot_deg=10.0, seed=7)
+        b2, _ = make_synthetic_branch(cfg, batch_size=B, num_person=3,
+                                      with_images=False, rot_deg=-8.0, seed=7)
+        b3, _ = make_synthetic_branch(cfg, batch_size=B, num_person=3,
+                                      with_images=False, seed=7)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)},
+            b3,
+        )
+
+        def run(b3_, k_cap):
+            _, _, _, losses = model.apply(
+                variables, b1, b2, b3_,
+                train_posenet_stage=True, use_l1_stage=True, train=True,
+                bn_eval=True, k_cap=k_cap,
+                rngs={"synth": jax.random.PRNGKey(5)},
+                method="ssv_losses",
+            )
+            return losses
+
+        # truncated: 3 valid proposals, cap 2
+        losses_cap = run(b3, 2)
+        # oracle: full K with the third proposal explicitly invalidated
+        # (same roots; only num_person, which feeds _gt_grid_centers's
+        # validity flags, changes)
+        b3_inval = b3.replace(num_person=jnp.minimum(b3.num_person, 2))
+        losses_inval = run(b3_inval, None)
+        assert set(losses_cap) == set(losses_inval)
+        for k in losses_cap:
+            np.testing.assert_allclose(
+                np.asarray(losses_cap[k]), np.asarray(losses_inval[k]),
+                rtol=1e-5, atol=1e-7, err_msg=k,
+            )
+
     def test_train_step_dispatch_runs(self):
         """A k_cap'd compiled train step steps and yields finite losses."""
         from selfpose3d_tpu.models import get_model

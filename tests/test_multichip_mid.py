@@ -1,5 +1,7 @@
 """Mid-shape multi-chip dryrun (r4 VERDICT task 6a): one bf16 SSV train
-step with the candidate-bucket switch live, on an 8-virtual-device mesh.
+step (single-branch PoseNet — the bucket switch never compiles under
+grad) plus one do_inference step where the candidate-bucket switch IS
+taken, both on an 8-virtual-device mesh.
 
 Gated behind SP3D_SLOW=1: the child process jit-compiles a ResNet-18
 5-camera 3-branch train graph on host CPUs (~tens of minutes on a 1-core
