@@ -111,6 +111,12 @@ class DatasetConfig:
     ROOTIDX_PSEUDO: int = 2
     MEAN: Tuple[float, ...] = ()
     STD: Tuple[float, ...] = ()
+    # synthetic-scene dataset only: "noise" serves per-epoch random images
+    # (pipeline smoke; the backbone cannot generalize), "render" draws
+    # deterministic stick figures at the augmented projected joints so the
+    # full SSV pipeline has learnable image signal (the convergence-to-
+    # magnitude curriculum, r5)
+    SYNTH_IMAGE_MODE: str = "noise"
 
 
 @dataclass

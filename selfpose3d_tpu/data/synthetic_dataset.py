@@ -122,7 +122,12 @@ class SyntheticSceneDataset:
 
         image = None
         if with_image:
-            image = rs.rand(img_h, img_w, 3).astype(np.float32)
+            if self.cfg.DATASET.SYNTH_IMAGE_MODE == "render":
+                image = self._render_image(
+                    joints, joints_vis, (img_w, img_h), rs
+                )
+            else:
+                image = rs.rand(img_h, img_w, 3).astype(np.float32)
 
         return {
             "image": image,
@@ -140,6 +145,64 @@ class SyntheticSceneDataset:
             "num_person": P_real,
             "hflip": hflip,
         }
+
+    # joint-type color table: distinct, fixed hues so the backbone can
+    # recover joint identity from appearance (built once per process)
+    _JOINT_COLORS = None
+
+    @classmethod
+    def _joint_colors(cls, J: int) -> np.ndarray:
+        if cls._JOINT_COLORS is None or len(cls._JOINT_COLORS) != J:
+            hues = np.linspace(0.0, 1.0, J, endpoint=False)
+            # simple HSV->RGB at s=1, v=1
+            i = (hues * 6).astype(int) % 6
+            f = hues * 6 - np.floor(hues * 6)
+            rgb = np.zeros((J, 3), np.float32)
+            for j in range(J):
+                p, q, t = 0.15, 1 - f[j] * 0.85, 0.15 + f[j] * 0.85
+                rgb[j] = [
+                    (1, q, p, p, t, 1)[i[j]],
+                    (t, 1, 1, q, p, p)[i[j]],
+                    (p, p, t, 1, 1, q)[i[j]],
+                ]
+            cls._JOINT_COLORS = rgb
+        return cls._JOINT_COLORS
+
+    def _render_image(self, joints, joints_vis, img_wh, rs) -> np.ndarray:
+        """Stick-figure render at the AUGMENTED projected joints (post
+        affine/flip, so every SSV branch sees the same scene under its own
+        geometry — the consistency signal the SSV losses assume). Joint
+        blobs carry per-joint-type colors and limbs connect visible pairs;
+        a low-amplitude noise floor keeps the backbone from keying on
+        exact zeros."""
+        import cv2
+
+        from selfpose3d_tpu.utils.vis import PANOPTIC_LIMBS
+
+        w, h = img_wh
+        img = (rs.rand(h, w, 3).astype(np.float32)) * 0.08
+        J = self.num_joints
+        colors = self._joint_colors(J)
+        rad = max(1, round(min(w, h) / 48))
+        thick = max(1, round(min(w, h) / 96))
+        for jp, jv in zip(joints, joints_vis):
+            for a, b in PANOPTIC_LIMBS:
+                if a < J and b < J and jv[a, 0] > 0 and jv[b, 0] > 0:
+                    col = ((colors[a] + colors[b]) / 2 * 0.6).tolist()
+                    cv2.line(
+                        img,
+                        (int(round(jp[a, 0])), int(round(jp[a, 1]))),
+                        (int(round(jp[b, 0])), int(round(jp[b, 1]))),
+                        col, thick, lineType=cv2.LINE_AA,
+                    )
+            for j in range(len(jp)):
+                if jv[j, 0] > 0:
+                    cv2.circle(
+                        img,
+                        (int(round(jp[j, 0])), int(round(jp[j, 1]))),
+                        rad, colors[j].tolist(), -1, lineType=cv2.LINE_AA,
+                    )
+        return np.clip(img, 0.0, 1.0)
 
     def get_frame(
         self, idx: int, load_images: bool = True, seed: int = 0

@@ -45,18 +45,28 @@ def run_convergence(
     epochs: int = 4,
     out_path: Optional[str] = None,
     num_frames: int = 64,
+    platform: str = "cpu",
+    eval_every: int = 0,
 ) -> dict:
-    """Train `epochs` epochs of the tiny SSV config from scratch on CPU and
+    """Train `epochs` epochs of the tiny SSV config from scratch and
     return {"series": per-term loss lists, "eval_init": metrics,
     "eval_final": metrics, "steps": N, "seconds": wall}.
 
-    Forces the cpu platform (the harness is a dynamics check, not a perf
-    run; the container's sitecustomize would otherwise send every op over
-    the axon TPU tunnel).
+    platform: "cpu" (default — the harness is a dynamics check; the
+    container's sitecustomize would otherwise send every op over the axon
+    TPU tunnel) or "tpu"/"axon" for long magnitude runs where the chip's
+    step rate is the point.
+
+    eval_every: if > 0, run validate_3d every N epochs and record the
+    metric trajectory in result["eval_curve"] (the plateau evidence).
+    When out_path is set, the partial result is flushed to disk after
+    every epoch so a dead tunnel cannot lose the run.
     """
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: leave the container default (axon TPU) in place
 
     import dataclasses
 
@@ -94,11 +104,37 @@ def run_convergence(
     )
 
     writer = RecordingWriter()
+    eval_curve: List[dict] = []
     t0 = time.time()
     for epoch in range(epochs):
         state = train_epoch_ssv(
             cfg, model, state, train_ds, epoch, writer=writer
         )
+        if eval_every and (epoch + 1) % eval_every == 0:
+            m: dict = {}
+            validate_3d(cfg, model, state, test_ds, metrics_out=m)
+            m = _jsonable(m)
+            m["epoch"] = epoch + 1
+            eval_curve.append(m)
+            logger.info(
+                "epoch %d eval: recall500_root=%.4f mpjpe_root=%.1f",
+                epoch + 1,
+                m.get("recall500_root", float("nan")),
+                m.get("mpjpe_root", float("nan")),
+            )
+        if out_path:
+            partial = {
+                "cfg": cfg_path,
+                "epochs_done": epoch + 1,
+                "epochs": epochs,
+                "steps": len(writer.series.get("train/loss", [])),
+                "seconds": time.time() - t0,
+                "series": writer.series,
+                "eval_init": _jsonable(eval_init),
+                "eval_curve": eval_curve,
+            }
+            with open(out_path + ".partial", "w") as fh:
+                json.dump(partial, fh)
     wall = time.time() - t0
 
     eval_final: dict = {}
@@ -116,6 +152,7 @@ def run_convergence(
         "seconds": wall,
         "series": writer.series,
         "eval_init": _jsonable(eval_init),
+        "eval_curve": eval_curve,
         "eval_final": _jsonable(eval_final),
     }
     if out_path:

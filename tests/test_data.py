@@ -79,6 +79,45 @@ class TestSyntheticDataset:
         t3 = b3[0]["trans"]
         assert not np.allclose(t1, t3)  # aug1 is rotated/scaled; branch3 not
 
+    def test_rendered_images_carry_signal(self):
+        """SYNTH_IMAGE_MODE='render' draws stick figures at the augmented
+        projected joints: energy concentrates at joint pixels, the render
+        is deterministic per frame, and targets are unchanged vs noise
+        mode (only the image differs)."""
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfg_r = dataclasses.replace(
+            cfg, DATASET=dataclasses.replace(
+                cfg.DATASET, SYNTH_IMAGE_MODE="render")
+        )
+        ds_n = SyntheticSceneDataset(cfg, "train", True, num_frames=4)
+        ds_r = SyntheticSceneDataset(cfg_r, "train", True, num_frames=4)
+        vn = ds_n.get_frame(1, load_images=True)["views"][0]
+        vr = ds_r.get_frame(1, load_images=True)["views"][0]
+        vr2 = ds_r.get_frame(1, load_images=True)["views"][0]
+
+        np.testing.assert_array_equal(vr["image"], vr2["image"])
+        np.testing.assert_array_equal(vr["target_2d"], vn["target_2d"])
+        np.testing.assert_array_equal(vr["joints"], vn["joints"])
+
+        img = vr["image"]
+        h, w = img.shape[:2]
+        n = int(vr["num_person"])
+        joint_vals, hit = [], 0
+        for p in range(n):
+            for j in range(15):
+                if vr["joints_vis"][p, j, 0] > 0:
+                    x, y = vr["joints"][p, j]
+                    xi, yi = int(round(x)), int(round(y))
+                    if 0 <= xi < w and 0 <= yi < h:
+                        joint_vals.append(img[yi, xi].max())
+                        hit += 1
+        assert hit >= 10
+        # joints are bright, the background noise floor is dim
+        assert np.mean(joint_vals) > 0.5
+        assert np.median(img) < 0.1
+
     def test_evaluate_protocol_roundtrip(self):
         cfg = tiny_cfg()
         ds = SyntheticSceneDataset(cfg, "validation", False, num_frames=4)
