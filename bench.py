@@ -139,20 +139,30 @@ def main():
         branch1,
     )
 
+    # The timed program reduces its outputs to ONE scalar checksum inside
+    # the jit: on the axon backend, jax.block_until_ready on large outputs
+    # returns without waiting (measured r5: a 1.1 TF matmul "finished" in
+    # 30 us under it), so the only honest sync is a 4-byte scalar pull —
+    # which also avoids dragging full outputs over the ~10 MB/s tunnel.
     @jax.jit
     def infer(params, batch_stats, br):
-        return model.apply(
+        out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             br,
             method="do_inference",
+        )
+        return sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out)
         )
 
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
+    import numpy as _np
+
     for _ in range(WARMUP):
         out = infer(params, stats, branch)
-        jax.block_until_ready(out)
+    _ = float(_np.asarray(out))
 
     # xprof capture: SP3D_PROFILE=/path dumps a jax.profiler trace of the
     # timed region for TensorBoard/xprof analysis
@@ -165,7 +175,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = infer(params, stats, branch)
-        jax.block_until_ready(out)
+        _ = float(_np.asarray(out))  # syncs the serial device queue
         dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt

@@ -30,14 +30,28 @@ DT = jnp.bfloat16
 
 
 def timeit(fn, *args, warmup=2, iters=10):
+    """Time a jitted fn that returns a SCALAR. On the axon backend,
+    block_until_ready on large outputs returns without waiting (measured:
+    a 1.1 TF matmul 'finishes' in 30 us) — the only honest pattern is a
+    scalar reduce inside the jit forced to host once after the loop
+    (~120 TF/s on the same matmul, matching chip peak)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(np.asarray(out))
     return (time.perf_counter() - t0) / iters * 1000
+
+
+def scalarized(f):
+    """Wrap an array-returning fn into a jitted scalar-checksum fn."""
+    return jax.jit(
+        lambda *a: sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(f(*a))
+        )
+    )
 
 
 def report(name, ms, gflop):
@@ -57,11 +71,10 @@ def main():
     params, stats = variables["params"], variables["batch_stats"]
 
     # ---- whole backbone
-    @jax.jit
     def full(p, s, v):
         return model.apply({"params": p, "batch_stats": s}, v, train=False)
 
-    ms_full = timeit(full, params, stats, x)
+    ms_full = timeit(scalarized(full), params, stats, x)
 
     # FLOP accounting per piece (conv MACs*2)
     def conv_gf(h, w, k, ci, co, n=B):
@@ -117,7 +130,7 @@ def main():
                     constant_values=-jnp.inf)
         return nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
 
-    ms = timeit(jax.jit(stem), params, stats, x)
+    ms = timeit(scalarized(stem), params, stats, x)
     report("stem", ms, gf_stem)
     stem_out = jax.jit(stem)(params, stats, x)
 
@@ -137,7 +150,7 @@ def main():
                 inp = planes * 4
             return v
 
-        ms = timeit(jax.jit(f), params, stats, inp_arr)
+        ms = timeit(scalarized(f), params, stats, inp_arr)
         return ms, jax.jit(f)(params, stats, inp_arr)
 
     ms1, out1 = run_stage(1, 64, 3, 1, 64, stem_out)
@@ -161,7 +174,7 @@ def main():
             v = nn.relu(v)
         return v
 
-    ms_d = timeit(jax.jit(deconvs), params, stats, out4)
+    ms_d = timeit(scalarized(deconvs), params, stats, out4)
     report("deconv_head", ms_d, gf_d1 + gf_d2 + gf_d3)
     feat = jax.jit(deconvs)(params, stats, out4)
 
@@ -170,7 +183,7 @@ def main():
                        name="final_layer").apply(
             {"params": p["final_layer"]}, v.astype(jnp.float32))
 
-    ms_f = timeit(jax.jit(final), params, feat)
+    ms_f = timeit(scalarized(final), params, feat)
     report("final_conv", ms_f, gf_fin)
 
     # ---- variant probes on the stem: space-to-depth ci 3 -> 12
