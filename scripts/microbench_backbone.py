@@ -29,12 +29,14 @@ H, W = 512, 960
 DT = jnp.bfloat16
 
 
-def timeit(fn, *args, warmup=2, iters=10):
+def timeit(fn, *args, warmup=2, iters=40):
     """Time a jitted fn that returns a SCALAR. On the axon backend,
     block_until_ready on large outputs returns without waiting (measured:
     a 1.1 TF matmul 'finishes' in 30 us) — the only honest pattern is a
     scalar reduce inside the jit forced to host once after the loop
-    (~120 TF/s on the same matmul, matching chip peak)."""
+    (~120 TF/s on the same matmul, matching chip peak). The single sync
+    costs ~30 ms of tunnel round-trip, so iters=40 keeps the per-iter
+    overhead under ~1 ms (10-iter runs inflated each piece by ~3 ms)."""
     for _ in range(warmup):
         out = fn(*args)
     _ = float(np.asarray(out))
@@ -106,9 +108,11 @@ def main():
     gf_l2 = bottleneck_gf(h4, w4, 128, 4, 2, 256)
     gf_l3 = bottleneck_gf(h8, w8, 256, 6, 2, 512)
     gf_l4 = bottleneck_gf(h16, w16, 512, 3, 2, 1024)
-    gf_d1 = conv_gf(h16, w16, 4, 2048, 256)
-    gf_d2 = conv_gf(h8, w8, 4, 256, 256)
-    gf_d3 = conv_gf(h4, w4, 4, 256, 256)
+    # ConvTranspose k4 s2: each OUTPUT pixel receives k^2/s^2 = 4 taps,
+    # so true MACs are conv_gf(at output res, k=4)/4
+    gf_d1 = conv_gf(h16, w16, 4, 2048, 256) / 4
+    gf_d2 = conv_gf(h8, w8, 4, 256, 256) / 4
+    gf_d3 = conv_gf(h4, w4, 4, 256, 256) / 4
     gf_fin = conv_gf(h4, w4, 1, 256, 15)
     gf_total = (gf_stem + gf_l1 + gf_l2 + gf_l3 + gf_l4
                 + gf_d1 + gf_d2 + gf_d3 + gf_fin)
