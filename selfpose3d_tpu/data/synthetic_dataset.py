@@ -63,14 +63,15 @@ class SyntheticSceneDataset:
                             root_idx=self.root_id)
 
     def _project(self, poses: np.ndarray, v: int) -> np.ndarray:
-        from selfpose3d_tpu.geometry.cameras import project_points
-
-        import jax
+        # Host data path: use the numpy camera twin. The jax projection
+        # here cost ~5 s/step on the axon backend (every tiny op is a
+        # device-tunnel round-trip), starving the chip during the
+        # magnitude-curriculum runs; numpy is ~1000x cheaper per call.
+        from selfpose3d_tpu.geometry.cameras_np import project_pose_np
 
         P, J, _ = poses.shape
-        cam_v = jax.tree.map(lambda x: x[0, v], self._cam_params)
-        pix = project_points(jnp.asarray(poses.reshape(P * J, 3)), cam_v)
-        return np.asarray(pix).reshape(P, J, 2)
+        pix = project_pose_np(poses.reshape(P * J, 3), self._cams[v])
+        return np.asarray(pix, np.float32).reshape(P, J, 2)
 
     def _build_view(self, poses, v, rot, scale_aug, hflip, with_image, rs):
         cfg = self.cfg
