@@ -79,6 +79,28 @@ class TestSyntheticDataset:
         t3 = b3[0]["trans"]
         assert not np.allclose(t1, t3)  # aug1 is rotated/scaled; branch3 not
 
+    def test_host_projection_matches_device_camera(self):
+        """The host data path projects with the numpy camera twin (the jax
+        projection cost ~5 s/step over the axon tunnel); pin it against
+        the device camera model on the dataset's own ring cameras so the
+        two can never drift (ref: lib/utils/cameras_cpu.py vs cameras.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from selfpose3d_tpu.geometry.cameras import project_points
+
+        cfg = tiny_cfg()
+        ds = SyntheticSceneDataset(cfg, "train", True, num_frames=4)
+        poses = ds._frame_poses(2)
+        P, J, _ = poses.shape
+        for v in range(cfg.DATASET.CAMERA_NUM):
+            host = ds._project(poses, v)
+            cam_v = jax.tree.map(lambda x: x[0, v], ds._cam_params)
+            dev = np.asarray(
+                project_points(jnp.asarray(poses.reshape(P * J, 3)), cam_v)
+            ).reshape(P, J, 2)
+            np.testing.assert_allclose(host, dev, atol=2e-3)
+
     def test_rendered_images_carry_signal(self):
         """SYNTH_IMAGE_MODE='render' draws stick figures at the augmented
         projected joints: energy concentrates at joint pixels, the render
